@@ -1,0 +1,110 @@
+"""Benchmark: CelebA-HQ-256 DDPM pullback editing pipeline on real hardware.
+
+Measures BASELINE.md config 1 — single-image mid-block pullback (top-1 PC)
+plus a 20-step DDIM edit — on the flagship 256px DDPM architecture
+(google/ddpm-ema-celebahq-256 shapes, deterministic random init: identical
+FLOPs/memory to the pretrained checkpoint, so timing is checkpoint-
+independent). Also reports DDIM steps/sec and pullback JVP evals/sec.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+The reference publishes no numbers (BASELINE.md); vs_baseline is measured
+against the north-star budget of 10 s end-to-end.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from diffusion_pullback_tpu.geometry import local_pullback
+from diffusion_pullback_tpu.models import TapPoint, UNet2D, ddpm_celebahq_256
+from diffusion_pullback_tpu.ops import DiffusionSchedule, ddim_timestep_grid
+from diffusion_pullback_tpu.samplers import ddim_forward, x_space_guidance_scan
+
+NORTH_STAR_SECONDS = 10.0
+
+
+def main():
+    import dataclasses
+
+    dev = jax.devices()[0]
+    cfg = ddpm_celebahq_256()
+    model = UNet2D(cfg)
+    sched = DiffusionSchedule.linear()
+
+    x = jax.random.normal(jax.random.key(1), (1, 256, 256, 3), jnp.float32)
+    t_edit = jnp.float32(699.3)  # 0.7T grid point
+    params = jax.jit(lambda k: model.init(k, x, t_edit))(jax.random.key(0))
+
+    eps_fn = lambda z, t: model.apply(params, z, t)
+    tap = TapPoint("mid", 0)
+    encode_fn = lambda z: model.apply(params, z, t_edit, tap, method=UNet2D.encode)
+
+    # --- 1. DDIM steps/sec (100-step forward scan, batch 1) ----------------
+    grid100 = ddim_timestep_grid(100)
+    fwd = jax.jit(lambda z: ddim_forward(eps_fn, z, sched, grid100))
+    fwd(x).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    fwd(x).block_until_ready()
+    ddim_sec = time.perf_counter() - t0
+    ddim_steps_per_sec = grid100.num_steps / ddim_sec
+
+    # --- 2. pullback: top-1 PC via 5 power iterations (r=8 probes) ---------
+    RANK, ITERS = 8, 5
+    pull = jax.jit(
+        lambda z, k: local_pullback(
+            encode_fn, z, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS,
+            atol=0.0,
+        )
+    )
+    jax.block_until_ready(pull(x, jax.random.key(2)))  # compile
+    t0 = time.perf_counter()
+    res = pull(x, jax.random.key(2))
+    jax.block_until_ready(res)
+    pull_sec = time.perf_counter() - t0
+    # each iteration runs RANK jvp + RANK vjp probe passes, plus RANK final jvps
+    jvp_evals_per_sec = (ITERS * 2 * RANK + RANK) / pull_sec
+
+    # --- 3. x-space-guidance edit (16 micro-steps) + 20-step finish --------
+    vk = res.vT[0].reshape(1, 256, 256, 3)
+    grid20 = ddim_timestep_grid(20)
+    edit_t_idx = 6  # ~0.7T on the 20-grid
+
+    def edit(z, v):
+        traj = x_space_guidance_scan(
+            eps_fn, z, grid20.timesteps[edit_t_idx], v,
+            num_steps=16, edit_step=0.1, scale=0.1,
+        )
+        z_edit = traj[-1]
+        return ddim_forward(eps_fn, z_edit, sched, grid20, start_idx=edit_t_idx)
+
+    edit_jit = jax.jit(edit)
+    edit_jit(x, vk).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    edit_jit(x, vk).block_until_ready()
+    edit_sec = time.perf_counter() - t0
+
+    e2e = pull_sec + edit_sec
+    print(
+        json.dumps(
+            {
+                "metric": "celebahq256_top1pc_pullback_plus_20step_edit",
+                "value": round(e2e, 4),
+                "unit": "s",
+                "vs_baseline": round(NORTH_STAR_SECONDS / e2e, 3),
+                "device": str(dev),
+                "ddim_steps_per_sec": round(ddim_steps_per_sec, 2),
+                "jvp_evals_per_sec": round(jvp_evals_per_sec, 2),
+                "pullback_sec": round(pull_sec, 4),
+                "edit_sec": round(edit_sec, 4),
+                "pca_rank": RANK,
+                "power_iters": ITERS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,9 @@
+from .cache import BasisCache, basis_name
+from .edit_uncond import EditUncondDiffusion, UncondExperimentConfig
+
+__all__ = [
+    "BasisCache",
+    "basis_name",
+    "EditUncondDiffusion",
+    "UncondExperimentConfig",
+]

@@ -1,0 +1,198 @@
+"""Pullback-metric SVD: top-k singular triplets of a network Jacobian.
+
+The numerical heart of the framework — the TPU-native re-design of the
+reference's Algorithm-1 subspace power iteration
+(/root/reference/src/utils/utils.py:722-816 for SD latents, :165-249 for
+pixel space, src/models/ddpm/diffusion.py:484-633 for the custom DDPM).
+
+The reference's loop per iteration, per chunk of 5 probes, re-runs
+`torch.func.jacfwd` (a fresh forward+tangent graph) and then a separate
+`autograd.functional.jacobian` (a fresh forward+backward graph), staging
+probes through CPU between chunks, and takes a LAPACK SVD of the full
+(r × dim_x) matrix.
+
+Here the Jacobian operator is linearised ONCE (`jax.linearize`) — the primal
+pass and its residuals are computed a single time and reused by every
+iteration — and each iteration is:
+
+    u_i  = vmap(jvp)(v_i)                 # r batched tangent passes (MXU)
+    ṽ_i  = vmap(transpose(jvp))(u_i)      # r batched cotangent passes
+    G    = ṽ ṽᵀ  (r × r Gram)             # one short-fat matmul
+    eigh(G) → singular values/vectors     # tiny, on-device
+    v    ← sign-aligned new right vectors # keeps ±-flapping out of the
+                                          #   convergence test
+    δ    = max|v - v_prev|                # on-device loop carry; no host sync
+
+inside a single `lax.while_loop` under jit — no Python loop, no chunk
+staging, no host round-trips. Probe-axis chunking (`chunk_size`) and
+rematerialisation (`remat`) are available for memory-bound configs (SDXL),
+and the probe axis shards over a device mesh in parallel/sharded_pullback.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class PullbackResult(NamedTuple):
+    """Top-k singular triplets of J = ∂f/∂x at the evaluation point.
+
+    Matches the reference's return convention (utils.py:810): ``u`` has the
+    h-space directions as *columns* (dim_h, k) with norms ≈ σ_k (not unit —
+    callers normalise, edit.py:267), ``s`` is sqrt of the singular values of
+    the JᵀJ-iterated matrix (≈ σ_k of J), ``vT`` has unit x-space directions
+    as *rows* (k, dim_x).
+    """
+
+    u: jax.Array
+    s: jax.Array
+    vT: jax.Array
+    iterations: jax.Array    # () int32 — iterations actually run
+    final_delta: jax.Array   # () f32 — last convergence residual
+
+
+def _orthonormal_probes(key: jax.Array, dim: int, rank: int) -> jax.Array:
+    """(rank, dim) matrix with orthonormal rows (QR of a Gaussian block)."""
+    g = jax.random.normal(key, (dim, rank), dtype=jnp.float32)
+    q, _ = jnp.linalg.qr(g)
+    return q.T
+
+
+def _short_fat_svd(m: jax.Array, eps: float = 1e-12):
+    """SVD of a short-fat (r, d) matrix via eigh of the r×r Gram matrix.
+
+    Returns (s, vT) with singular values descending and unit rows in vT.
+    TPU-friendly: one (r×d)(d×r) matmul + an r×r eigh instead of a d-sized
+    LAPACK SVD (the reference SVDs the full matrix on GPU/CPU, utils.py:799).
+    """
+    gram = m @ m.T  # (r, r), f32 accumulate
+    w, q = jnp.linalg.eigh(gram)          # ascending
+    w = w[::-1]
+    q = q[:, ::-1]
+    s = jnp.sqrt(jnp.maximum(w, 0.0))
+    vT = (q.T @ m) / jnp.maximum(s, eps)[:, None]
+    return s, vT
+
+
+def _batched(fn: Callable, chunk_size: Optional[int], rank: int):
+    """vmap fn over the probe axis, optionally chunked via lax.map to bound
+    peak memory (replaces the reference's Python chunk loop, utils.py:761)."""
+    if chunk_size is None or chunk_size >= rank:
+        return jax.vmap(fn)
+    if rank % chunk_size != 0:
+        raise ValueError(f"pca_rank {rank} must be divisible by chunk_size {chunk_size}")
+
+    def run(batch):
+        chunks = jax.tree.map(
+            lambda a: a.reshape((rank // chunk_size, chunk_size) + a.shape[1:]), batch
+        )
+        out = jax.lax.map(jax.vmap(fn), chunks)
+        return jax.tree.map(lambda a: a.reshape((rank,) + a.shape[2:]), out)
+
+    return run
+
+
+def local_pullback(
+    fn: Callable[[jax.Array], jax.Array],
+    x: jax.Array,
+    key: jax.Array,
+    pca_rank: int = 50,
+    min_iter: int = 10,
+    max_iter: int = 50,
+    atol: float = 1e-3,
+    chunk_size: Optional[int] = None,
+    remat: bool = False,
+) -> PullbackResult:
+    """Top-``pca_rank`` singular triplets of ∂fn/∂x at ``x``.
+
+    ``fn`` maps one sample (with its leading batch axis, usually 1) to a
+    feature tensor; it must be jvp-differentiable. Convergence follows the
+    reference (utils.py:806): stop once max|v − v_prev| < atol after
+    ``min_iter`` iterations, else at ``max_iter``.
+    """
+    if remat:
+        fn = jax.checkpoint(fn)
+
+    x = x.astype(jnp.float32)
+    dim_x = math.prod(x.shape)
+    _, jvp_fn = jax.linearize(fn, x)
+    transpose_fn = jax.linear_transpose(jvp_fn, x)
+
+    h_shape = jax.eval_shape(fn, x).shape
+    fwd = _batched(lambda vi: jvp_fn(vi.reshape(x.shape)).ravel(), chunk_size, pca_rank)
+    bwd = _batched(
+        lambda ui: transpose_fn(ui.reshape(h_shape))[0].ravel(), chunk_size, pca_rank
+    )
+
+    v0 = _orthonormal_probes(key, dim_x, pca_rank)
+
+    def one_iteration(v):
+        u = fwd(v)                        # (r, dim_h)
+        vt = bwd(u)                       # (r, dim_x)
+        s, v_new = _short_fat_svd(vt)
+        # sign-align rows to the previous iterate so the convergence test
+        # (and the final output) is free of ± flapping
+        signs = jnp.sign(jnp.sum(v_new * v, axis=1))
+        signs = jnp.where(signs == 0, 1.0, signs)
+        v_new = v_new * signs[:, None]
+        delta = jnp.max(jnp.abs(v_new - v))
+        return v_new, s, delta
+
+    def cond(carry):
+        _, _, delta, it = carry
+        return (it < max_iter) & ((it <= min_iter) | (delta > atol))
+
+    def body(carry):
+        v, _, _, it = carry
+        v_new, s, delta = one_iteration(v)
+        return (v_new, s, delta, it + 1)
+
+    s0 = jnp.zeros((pca_rank,), jnp.float32)
+    v, s, delta, it = jax.lax.while_loop(
+        cond, body, (v0, s0, jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(0, jnp.int32))
+    )
+
+    # final tangent pass so u corresponds to the converged v (the reference
+    # returns u from the last pre-SVD v — identical at convergence)
+    u = fwd(v)  # (r, dim_h), row norms ≈ σ
+    return PullbackResult(u=u.T, s=jnp.sqrt(s), vT=v, iterations=it, final_delta=delta)
+
+
+def local_encoder_pullback(
+    encode_fn: Callable[[jax.Array], jax.Array],
+    sample: jax.Array,
+    key: jax.Array,
+    **kwargs,
+) -> PullbackResult:
+    """Pullback of the U-Net encoder x_t → h (reference
+    local_encoder_pullback_zt/xt). ``encode_fn`` is already closed over
+    params/timestep/condition/tap — e.g.
+    ``lambda z: unet.apply(params, z, t, tap, method=UNet2D.encode)``."""
+    return local_pullback(encode_fn, sample, key, **kwargs)
+
+
+def local_decoder_pullback(
+    decode_fn: Callable[[jax.Array], jax.Array],
+    h: jax.Array,
+    key: jax.Array,
+    **kwargs,
+) -> PullbackResult:
+    """Pullback of the decoder h → ε (reference local_decoder_pullback_zt,
+    utils.py:818-898; local_x0_decoder variants wrap decode_fn with the
+    Tweedie map before calling this)."""
+    return local_pullback(decode_fn, h, key, **kwargs)
+
+
+def pullback_covector(
+    fn: Callable[[jax.Array], jax.Array], x: jax.Array, u: jax.Array
+) -> jax.Array:
+    """v = Jᵀ u for a single h-space covector — the reference's inverse-
+    Jacobian trick (inv_jac_zt, utils.py:1117-1160: one VJP of ⟨u, f(x)⟩)."""
+    _, vjp_fn = jax.vjp(fn, x)
+    (v,) = vjp_fn(u)
+    return v

@@ -1,0 +1,216 @@
+"""Checkpoint conversion: torch (diffusers / DDPM family) → Flax params.
+
+The reference loads HF torch checkpoints directly
+(/root/reference/src/utils/utils.py:56-111, :317-347); for the TPU framework
+checkpoint conversion is a first-class component (SURVEY.md §5): torch
+NCHW/OIHW tensors become Flax NHWC/HWIO pytrees.
+
+Conventions converted:
+    conv weight   OIHW → HWIO          (transpose 2,3,1,0)
+    dense weight  (out,in) → (in,out)  (transpose)
+    norm weight/bias → scale/bias
+    old-diffusers attention names (query/key/value/proj_attn) → to_q/…/to_out
+
+The mapping is expressed as a bijection on names so it can be validated
+offline by synthesising a torch-style state dict from Flax params and
+round-tripping (tests/test_convert.py) — no network or real checkpoint
+needed; a real checkpoint drops in through the identical path.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---- name mapping ---------------------------------------------------------
+
+_ATTN_OLD_TO_NEW = {
+    "query": "to_q",
+    "key": "to_k",
+    "value": "to_v",
+    "proj_attn": "to_out",
+    "to_out.0": "to_out",
+}
+
+
+def _torch_name_to_flax_path(name: str) -> Tuple[Tuple[str, ...], str]:
+    """'down_blocks.0.resnets.1.conv1.weight' →
+    (('down_blocks_0','resnets_1','conv1'), 'weight')."""
+    parts = name.split(".")
+    leaf = parts[-1]
+    parts = parts[:-1]
+    # old-diffusers attention projection names
+    joined = ".".join(parts)
+    for old, new in _ATTN_OLD_TO_NEW.items():
+        if joined.endswith(old):
+            joined = joined[: -len(old)] + new
+    parts = joined.split(".")
+    # merge list indices into linen's auto names: down_blocks.0 → down_blocks_0
+    out = []
+    for p in parts:
+        if p.isdigit() and out:
+            out[-1] = f"{out[-1]}_{p}"
+        else:
+            out.append(p)
+    # HF module-name → our module-name
+    rename = {"time_embedding": "time_mlp", "mid_block": "mid_block"}
+    out = [rename.get(p, p) for p in out]
+    return tuple(out), leaf
+
+
+def _is_conv_path(path: Tuple[str, ...]) -> bool:
+    last = path[-1]
+    return (
+        last.startswith("conv")
+        or last in ("downsamplers_0", "upsamplers_0")
+        or last == "conv_shortcut"
+    )
+
+
+def _is_norm_path(path: Tuple[str, ...]) -> bool:
+    last = path[-1]
+    return "norm" in last
+
+
+def convert_torch_state_dict(
+    state_dict: Dict[str, Any], template_params: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Convert a torch state dict into the Flax param pytree shaped like
+    ``template_params`` (from model.init). Raises on missing/shape-mismatched
+    leaves so silent partial loads are impossible."""
+    flat_out: Dict[Tuple[str, ...], np.ndarray] = {}
+
+    for name, tensor in state_dict.items():
+        arr = np.asarray(
+            tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor
+        )
+        path, leaf = _torch_name_to_flax_path(name)
+        # downsamplers_0 / upsamplers_0 keep an inner 'conv' module
+        if path and path[-1] in ("downsamplers_0", "upsamplers_0"):
+            path = path + ("conv",)
+        if _is_norm_path(path):
+            flax_leaf = "scale" if leaf == "weight" else "bias"
+            flat_out[path + (flax_leaf,)] = arr
+        elif leaf == "weight":
+            if arr.ndim == 4:  # conv OIHW → HWIO
+                flat_out[path + ("kernel",)] = arr.transpose(2, 3, 1, 0)
+            elif arr.ndim == 2:  # dense (out,in) → (in,out)
+                flat_out[path + ("kernel",)] = arr.T
+            else:
+                flat_out[path + ("kernel",)] = arr
+        else:
+            flat_out[path + (leaf,)] = arr
+
+    # pour into the template structure
+    def fill(template, prefix: Tuple[str, ...]):
+        if isinstance(template, dict):
+            return {k: fill(v, prefix + (k,)) for k, v in template.items()}
+        key = prefix
+        if key not in flat_out:
+            raise KeyError(f"checkpoint missing parameter {'/'.join(key)}")
+        arr = flat_out.pop(key)
+        if tuple(arr.shape) != tuple(template.shape):
+            raise ValueError(
+                f"shape mismatch at {'/'.join(key)}: "
+                f"checkpoint {arr.shape} vs model {template.shape}"
+            )
+        return jnp.asarray(arr, dtype=template.dtype)
+
+    inner = template_params["params"] if "params" in template_params else template_params
+    filled = fill(inner, ())
+    leftover = [k for k in flat_out if not _ignorable(k)]
+    if leftover:
+        raise KeyError(
+            f"checkpoint has {len(leftover)} unconsumed tensors, e.g. "
+            f"{'/'.join(leftover[0])}"
+        )
+    return {"params": filled} if "params" in template_params else filled
+
+
+def _ignorable(path: Tuple[str, ...]) -> bool:
+    """Tensors legitimately absent from the Flax tree (EMA shadows, step
+    counters, position ids)."""
+    tail = path[-1] if path else ""
+    return tail in ("num_batches_tracked", "position_ids") or "ema" in path[0].lower()
+
+
+# ---- inverse direction (for offline round-trip validation) ----------------
+
+def flax_params_to_torch_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Synthesize the torch-layout state dict for a Flax param tree —
+    the converter's exact inverse, used to validate the mapping without a
+    real checkpoint (and to export back to torch/diffusers)."""
+    inner = params["params"] if "params" in params else params
+    out: Dict[str, np.ndarray] = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + (k,))
+            return
+        arr = np.asarray(node)
+        mods, leaf = path[:-1], path[-1]
+        # strip the inner 'conv' of samplers back to HF naming
+        if len(mods) >= 2 and mods[-2] in ("downsamplers_0", "upsamplers_0") and mods[-1] == "conv":
+            mods = mods[:-1]
+        name_parts = []
+        for p in mods:
+            m = re.match(r"(.+)_(\d+)$", p)
+            if m and m.group(1) in (
+                "down_blocks", "up_blocks", "resnets", "attentions",
+                "downsamplers", "upsamplers",
+            ):
+                name_parts += [m.group(1), m.group(2)]
+            else:
+                name_parts.append(p)
+        name_parts = ["time_embedding" if p == "time_mlp" else p for p in name_parts]
+        base = ".".join(name_parts)
+        if leaf == "scale":
+            out[base + ".weight"] = arr
+        elif leaf == "bias":
+            out[base + ".bias"] = arr
+        elif leaf == "kernel":
+            if arr.ndim == 4:
+                out[base + ".weight"] = arr.transpose(3, 2, 0, 1)
+            else:
+                out[base + ".weight"] = arr.T
+        else:
+            out[base + "." + leaf] = arr
+
+    walk(inner, ())
+    return out
+
+
+# ---- file loading ---------------------------------------------------------
+
+def load_torch_checkpoint_file(path: str) -> Dict[str, Any]:
+    """Load .bin/.pt/.ckpt (torch.load) or .safetensors."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return obj
+
+
+def load_unet2d_torch_checkpoint(path: str, model, example_x, example_t=0.0):
+    """Convenience: init the Flax template and pour a torch checkpoint in."""
+    import jax
+
+    template = jax.eval_shape(
+        lambda k: model.init(k, example_x, jnp.float32(example_t)),
+        jax.random.key(0),
+    )
+    template = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), template
+    )
+    sd = load_torch_checkpoint_file(path)
+    return convert_torch_state_dict(sd, template)

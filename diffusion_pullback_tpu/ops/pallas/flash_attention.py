@@ -1,0 +1,154 @@
+"""Pallas TPU flash attention (forward) with an XLA-recompute VJP.
+
+Replaces the O(S²)-memory attention the reference is forced into (it
+*disables* xformers to keep forward-mode AD alive — reference
+src/utils/utils.py:322-323). Here the sampling path gets a fused blockwise
+kernel — logits never touch HBM — while the differentiation paths stay on
+the XLA implementation (ops/attention.py) which JAX can jvp/vjp/transpose
+natively; `attention(impl='auto')` dispatches per-context.
+
+Kernel shape: grid (B·H, S_q/Bq, S_k/Bk), K-blocks innermost; online-softmax
+state (running max m, normalizer l, accumulator acc) lives in VMEM scratch
+and is carried across the K-block axis of the grid (canonical Mosaic
+accumulation pattern). All compute in f32 on the MXU via
+preferred_element_type; inputs may be bf16.
+
+Self-attention sizes this serves: SD up/down blocks 4096 tokens, VAE 4096,
+SDXL mid 16384 (BASELINE config 5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (Bq, D)
+    k = k_ref[0]  # (Bk, D)
+    v = v_ref[0]  # (Bk, D)
+
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                        # (Bq, Bk) f32
+
+    m_prev = m_ref[:, :1]                            # (Bq, 1)
+    m_cur = jnp.max(s, axis=1, keepdims=True)        # (Bq, 1)
+    m_new = jnp.maximum(m_prev, m_cur)
+    corr = jnp.exp(m_prev - m_new)                   # (Bq, 1)
+    p = jnp.exp(s - m_new)                           # (Bq, Bk)
+
+    l_new = l_ref[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def _flash_forward(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+    block_q: int = 512, block_k: int = 512, interpret: bool = False,
+) -> jax.Array:
+    """q: (BH, Sq, D), k/v: (BH, Sk, D) → (BH, Sq, D)."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    if sq % block_q or sk % block_k:
+        raise ValueError(f"sequence ({sq},{sk}) not divisible by blocks "
+                         f"({block_q},{block_k})")
+    grid = (bh, sq // block_q, sk // block_k)
+
+    return pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),  # normalizer
+            pltpu.VMEM((block_q, d), jnp.float32),    # output accumulator
+        ],
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _xla_reference(q, k, v, scale):
+    from ..attention import xla_attention
+
+    return xla_attention(q, k, v, scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash(q, k, v, scale, interpret):
+    return _flash_forward(q, k, v, scale, interpret=interpret)
+
+
+def _flash_fwd(q, k, v, scale, interpret):
+    return _flash(q, k, v, scale, interpret), (q, k, v)
+
+
+def _flash_bwd(scale, interpret, res, g):
+    # Backward via XLA recompute (differentiation paths use moderate sizes;
+    # the pullback machinery routes through impl='xla' anyway).
+    q, k, v = res
+    def ref(q, k, v):
+        d = q.shape[-1]
+        s = jnp.einsum("bqd,bkd->bqk", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+        return jnp.einsum("bqk,bkd->bqd", p.astype(q.dtype), v,
+                          preferred_element_type=jnp.float32).astype(q.dtype)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Public entry. Layout (B, S, H, D) like ops.attention."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    to_bh = lambda x, s: x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    out = _flash(to_bh(q, sq), to_bh(k, sk), to_bh(v, sk), float(scale), interpret)
+    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)

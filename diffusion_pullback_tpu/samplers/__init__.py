@@ -1,0 +1,10 @@
+from .ddim_loop import ddim_scan, ddim_invert, ddim_forward, performance_boost_etas
+from .guidance import x_space_guidance_scan
+
+__all__ = [
+    "ddim_scan",
+    "ddim_invert",
+    "ddim_forward",
+    "performance_boost_etas",
+    "x_space_guidance_scan",
+]

@@ -1,0 +1,126 @@
+"""DDIM sampling / inversion loops as single fused `lax.scan`s.
+
+Replaces the reference's Python step loops with their chunked 'memory_bound'
+buffering and CPU staging (/root/reference/src/modules/edit.py:112-183
+run_DDIMinversion, :385-482 and :1601-1714 DDIMforwardsteps): under jit the
+whole trajectory is one XLA program; the batch axis is just an array axis
+(shard it over a mesh for data parallelism instead of chunking), and
+'performance boosting' (η=1 below a timestep threshold,
+edit.py:1650-1653) becomes a per-step η array fed to the scan — no Python
+branching inside the loop.
+
+Partial traversals (edit at intermediate t) slice the *static* grid arrays
+before the scan, mirroring t_start_idx/t_end_idx index semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.ddim import ddim_step
+from ..ops.schedule import DiffusionSchedule, TimestepGrid, alpha_bar
+
+# eps_fn(x, t) -> ε ; already closed over params / prompt conditioning / CFG
+EpsFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+def performance_boost_etas(num_steps: int, boost_start_idx: Optional[int]):
+    """η per forward step: 0 everywhere, 1 from ``boost_start_idx`` on —
+    except the final step, which stays deterministic (reference
+    edit.py:1650-1653: boosting is skipped when the boost index is the last
+    timestep). Host-side numpy on purpose: the schedule is static config, so
+    it must stay a constant (bool()-able) even when built inside a jit trace.
+    """
+    import numpy as np
+
+    etas = np.zeros((num_steps,), np.float32)
+    if boost_start_idx is not None and boost_start_idx < num_steps:
+        etas[boost_start_idx:] = 1.0
+        etas[num_steps - 1] = 0.0
+    return etas
+
+
+def ddim_scan(
+    eps_fn: EpsFn,
+    x: jax.Array,
+    schedule: DiffusionSchedule,
+    timesteps: jax.Array,
+    timesteps_next: jax.Array,
+    etas: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    collect_trajectory: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Scan x through the (t, t_next) pairs. Returns (x_final, trajectory).
+
+    ``etas`` is a per-step array (requires ``key``); None → fully
+    deterministic. ``collect_trajectory`` stacks each step's output (used by
+    PSD/trajectory visualisation, reference edit.py:1632-1683).
+    """
+    stochastic = etas is not None
+    if stochastic and key is None:
+        raise ValueError("stochastic ddim_scan requires a PRNG key")
+    if not stochastic:
+        etas = jnp.zeros_like(timesteps)
+    if key is None:
+        key = jax.random.key(0)
+
+    def body(carry, inp):
+        xt, k = carry
+        t, tn, eta = inp
+        et = eps_fn(xt, t)
+        k, sub = jax.random.split(k)
+        noise = (
+            jax.random.normal(sub, xt.shape, xt.dtype)
+            if stochastic
+            else None
+        )
+        out = ddim_step(
+            et, xt, alpha_bar(schedule, t), alpha_bar(schedule, tn),
+            eta=eta, noise=noise,
+        )
+        return (out.prev_sample, k), (out.prev_sample if collect_trajectory else None)
+
+    (x_final, _), traj = jax.lax.scan(
+        body, (x, key), (timesteps, timesteps_next, etas)
+    )
+    return x_final, traj
+
+
+def ddim_invert(
+    eps_fn: EpsFn,
+    x0: jax.Array,
+    schedule: DiffusionSchedule,
+    grid: TimestepGrid,
+) -> jax.Array:
+    """x0 → x_T over the inversion grid (reference run_DDIMinversion loop,
+    edit.py:152-178 — note it breaks before the final grid entry, i.e. scans
+    exactly the (t, t_next) pairs, which is what the grid already encodes)."""
+    xT, _ = ddim_scan(eps_fn, x0, schedule, grid.timesteps, grid.timesteps_next)
+    return xT
+
+
+def ddim_forward(
+    eps_fn: EpsFn,
+    xT: jax.Array,
+    schedule: DiffusionSchedule,
+    grid: TimestepGrid,
+    start_idx: int = 0,
+    end_idx: Optional[int] = None,
+    boost_start_idx: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Denoise from grid index ``start_idx`` (inclusive) to ``end_idx``
+    (exclusive; None = all the way to x0) — the scan equivalent of
+    DDIMforwardsteps(zt, t_start_idx, t_end_idx)."""
+    end = grid.num_steps if end_idx is None else end_idx
+    ts = grid.timesteps[start_idx:end]
+    tn = grid.timesteps_next[start_idx:end]
+    etas = None
+    if boost_start_idx is not None:
+        etas_np = performance_boost_etas(grid.num_steps, boost_start_idx)[start_idx:end]
+        etas = jnp.asarray(etas_np) if (etas_np > 0).any() else None
+    x, _ = ddim_scan(eps_fn, xT, schedule, ts, tn, etas=etas, key=key)
+    return x

@@ -1,0 +1,196 @@
+"""CLI flag surface and preset derivations.
+
+Flag-name compatible with the reference's argparser
+(/root/reference/src/utils/define_argparser.py:15-133) and its `preset()`
+derivations (:145-233): same defaults, same derived args (c_in/image_size
+per family, x_space_guidance_scale from the h_t tables), same asserts, same
+run-dir layout with provenance copies. TPU-specific additions are grouped at
+the bottom (mesh axes, dtype='bf16', attention impl, probe chunking) and the
+GPU memory-staging flags (pca_device/buffer_device/memory_bound) are
+accepted-but-inert: on TPU the batch is a sharded array axis, not a chunk
+loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import shutil
+import sys
+
+import numpy as np
+
+from ..configs.params import X_SPACE_GUIDANCE_SCALE_DICT
+
+
+def str2bool(v):
+    if isinstance(v, bool):
+        return v
+    if v.lower() == "true":
+        return True
+    if v.lower() == "false":
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    # default setting
+    p.add_argument("--sh_file_name", type=str, default="")
+    p.add_argument("--device", type=str, default="")
+    p.add_argument("--dtype", type=str, default="fp32", help="'fp32'|'bf16'")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--result_folder", type=str, default="./runs/")
+    # model / dataset
+    p.add_argument("--model_name", type=str, default="")
+    p.add_argument("--dataset_name", type=str, default="")
+    p.add_argument("--num_imgs", type=int, default=100)
+    p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--c_in", type=int, default=3)
+    p.add_argument("--sample_idx", type=int, default=0)
+    # prompts
+    p.add_argument("--for_prompt", type=str, default="")
+    p.add_argument("--inv_prompt", type=str, default="")
+    p.add_argument("--neg_prompt", type=str, default="")
+    # schedule
+    p.add_argument("--for_steps", type=int, default=100)
+    p.add_argument("--inv_steps", type=int, default=100)
+    p.add_argument("--performance_boosting_t", type=float, default=0.0)
+    p.add_argument("--use_yh_custom_scheduler", type=str2bool, default=True)
+    # guidance
+    p.add_argument("--guidance_scale", type=float, default=0)
+    # h/x-space edit
+    p.add_argument("--edit_prompt", type=str, default="")
+    p.add_argument("--edit_xt", type=str, default="default")
+    p.add_argument("--use_x_space_guidance", type=str2bool, default=False)
+    p.add_argument("--x_space_guidance_edit_step", type=float, default=1)
+    p.add_argument("--x_space_guidance_scale", type=float, default=0)
+    p.add_argument("--x_space_guidance_num_step", type=int, default=0)
+    p.add_argument("--x_space_guidance_use_edit_prompt", type=str2bool, default=True)
+    p.add_argument("--h_t", type=float, default=0.8)
+    p.add_argument("--edit_t", type=float, default=1.0)
+    p.add_argument("--no_edit_t", type=float, default=0.5)
+    p.add_argument("--h_edit_step_size", type=float, default=0)
+    p.add_argument("--x_edit_step_size", type=float, default=0)
+    # memory staging flags (reference GPU OOM workarounds; inert on TPU)
+    p.add_argument("--pca_device", type=str, default="cpu")
+    p.add_argument("--buffer_device", type=str, default="cpu")
+    p.add_argument("--save_result_as", type=str, default="image")
+    # experiment toggles
+    p.add_argument("--note", type=str, required=True)
+    for flag in (
+        "run_cfg_forward",
+        "run_mcg_forward",
+        "run_pfg_forward",
+        "run_ddim_forward",
+        "run_ddim_inversion",
+        "run_edit_local_encoder_pullback_zt",
+        "run_edit_local_decoder_pullback_zt",
+        "run_edit_local_x0_decoder_pullback_zt",
+        "run_edit_local_pca_zt",
+        "run_edit_local_encoder_pullback_zt_with_various_prompt",
+        "run_sample_encoder_local_tangent_space_zt",
+        "run_edit_global_frechet_mean_zt",
+        "run_edit_parallel_transport",
+        "run_edit_global_hungarian_mean_zt",
+        "run_edit_text_driven_direction",
+        "run_edit_global_pca_zt",
+        "fix_xt",
+        "fix_t",
+        "local_projection",
+        "debug_mode",
+        "sampling_mode",
+    ):
+        p.add_argument(f"--{flag}", type=str2bool, default=False)
+    p.add_argument("--various_prompt_type", type=str, default="")
+    p.add_argument("--various_prompt_sample_idx", type=int, default=0)
+    p.add_argument("--num_local_basis", type=int, default=100)
+    p.add_argument("--frechet_mean_space", type=str, default="")
+    p.add_argument("--hungarian_mean_space", type=str, default="")
+    p.add_argument("--sample_idx_0", type=int, default=0)
+    p.add_argument("--sample_idx_1", type=int, default=0)
+    # ---- TPU-native additions --------------------------------------------
+    p.add_argument("--mesh_axes", type=str, default="",
+                   help="e.g. 'dp:2,probe:4'; empty = single device")
+    p.add_argument("--attn_impl", type=str, default="auto",
+                   choices=["auto", "xla", "flash"])
+    p.add_argument("--pca_rank", type=int, default=2)
+    p.add_argument("--pullback_chunk_size", type=int, default=0,
+                   help="probe-axis chunking for memory-bound configs; 0=off")
+    p.add_argument("--matmul_precision", type=str, default="",
+                   help="''=backend default, 'highest'=f32 passes")
+    p.add_argument("--data_root", type=str, default="")
+    p.add_argument("--checkpoint_path", type=str, default="",
+                   help="torch .bin/.ckpt/.safetensors to convert; empty = "
+                        "deterministic random init (offline mode)")
+    return p
+
+
+def parse_args(argv=None):
+    return build_parser().parse_args(argv)
+
+
+def seed_everything(seed: int):
+    """Reference seed_everything (define_argparser.py:235-242) minus the
+    torch/cudnn knobs: JAX determinism comes from explicit PRNG keys, so this
+    only pins the host-side RNGs used for data/prompt selection."""
+    os.environ["PYTHONHASHSEED"] = str(seed)
+    np.random.seed(seed)
+    random.seed(seed)
+
+
+def preset(args):
+    """Derived args + asserts, mirroring reference preset() semantics."""
+    seed_everything(args.seed)
+
+    args.is_stable_diffusion = "stable-diffusion" in args.model_name
+    if args.is_stable_diffusion:
+        args.exp = f"Stable_Diffusion-{args.dataset_name}-{args.note}"
+    else:
+        known = {"CelebA_HQ_HF", "LSUN_church_HF", "LSUN_bedroom_HF", "FFHQ_HF"}
+        if args.model_name not in known:
+            raise ValueError(
+                f"model_name choice: {sorted(known)} (got {args.model_name!r})"
+            )
+        args.exp = f"{args.model_name}-{args.dataset_name}-{args.note}"
+    args.exp_folder = os.path.join(args.result_folder, args.exp)
+
+    os.makedirs(args.exp_folder, exist_ok=True)
+    # provenance copies (reference :182-184)
+    if args.sh_file_name:
+        src = os.path.join("scripts", args.sh_file_name)
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(args.exp_folder, args.sh_file_name))
+    for fname in ("main.py",):
+        if os.path.exists(fname):
+            shutil.copy(fname, os.path.join(args.exp_folder, fname))
+
+    args.obs_folder = os.path.join(args.exp_folder, "obs")
+    args.result_folder = os.path.join(args.exp_folder, "results")
+    os.makedirs(args.obs_folder, exist_ok=True)
+    os.makedirs(args.result_folder, exist_ok=True)
+
+    # edit scale from the tuned tables (reference :200-204)
+    if args.use_x_space_guidance:
+        family = "stable-diffusion" if args.is_stable_diffusion else "uncond"
+        args.x_space_guidance_scale = X_SPACE_GUIDANCE_SCALE_DICT[family][args.h_t]
+
+    # family-derived input geometry (reference :207-219)
+    if args.is_stable_diffusion:
+        args.c_in, args.image_size, args.memory_bound = 4, 64, 5
+    elif "CIFAR10" in args.model_name:
+        args.c_in, args.image_size, args.memory_bound = 3, 32, 50
+    else:
+        args.c_in, args.image_size, args.memory_bound = 3, 256, 50
+        args.noise_schedule = "linear"
+
+    # asserts (reference :224-231)
+    assert args.use_yh_custom_scheduler
+    if args.is_stable_diffusion:
+        assert args.performance_boosting_t <= 0
+    else:
+        assert args.for_steps == 100
+        assert args.performance_boosting_t == 0.2
+
+    return args

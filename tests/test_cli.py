@@ -1,0 +1,75 @@
+"""CLI surface tests: flag parity, preset derivations, and a tiny main() run."""
+
+import os
+
+import pytest
+
+from diffusion_pullback_tpu.utils.config import parse_args, preset
+
+
+def _base_argv(tmp_path, **over):
+    d = {
+        "--note": "test",
+        "--model_name": "CelebA_HQ_HF",
+        "--dataset_name": "noise",
+        "--result_folder": str(tmp_path),
+        "--for_steps": "100",
+        "--performance_boosting_t": "0.2",
+    }
+    d.update(over)
+    argv = []
+    for k, v in d.items():
+        argv += [k, v]
+    return argv
+
+
+def test_preset_uncond_derivations(tmp_path):
+    args = preset(parse_args(_base_argv(tmp_path)))
+    assert not args.is_stable_diffusion
+    assert (args.c_in, args.image_size, args.memory_bound) == (3, 256, 50)
+    assert args.noise_schedule == "linear"
+    assert os.path.isdir(args.result_folder)
+    assert os.path.isdir(args.obs_folder)
+    assert args.exp == "CelebA_HQ_HF-noise-test"
+
+
+def test_preset_sd_derivations(tmp_path):
+    args = preset(
+        parse_args(
+            _base_argv(
+                tmp_path,
+                **{
+                    "--model_name": "stabilityai/stable-diffusion-2-1-base",
+                    "--performance_boosting_t": "0.0",
+                },
+            )
+        )
+    )
+    assert args.is_stable_diffusion
+    assert (args.c_in, args.image_size, args.memory_bound) == (4, 64, 5)
+
+
+def test_preset_scale_table(tmp_path):
+    args = preset(
+        parse_args(
+            _base_argv(
+                tmp_path,
+                **{"--use_x_space_guidance": "True", "--h_t": "0.6"},
+            )
+        )
+    )
+    assert args.x_space_guidance_scale == 4  # uncond table at 0.6
+
+
+def test_preset_asserts(tmp_path):
+    with pytest.raises(AssertionError):
+        preset(parse_args(_base_argv(tmp_path, **{"--for_steps": "50"})))
+    with pytest.raises(AssertionError):
+        preset(
+            parse_args(_base_argv(tmp_path, **{"--performance_boosting_t": "0"}))
+        )
+
+
+def test_unknown_model_raises(tmp_path):
+    with pytest.raises(ValueError, match="model_name choice"):
+        preset(parse_args(_base_argv(tmp_path, **{"--model_name": "WAT"})))

@@ -1,0 +1,96 @@
+"""Checkpoint converter round-trip validation (offline, no real weights).
+
+Synthesize the torch-layout state dict from Flax params via the converter's
+exact inverse, convert back, and require bitwise-identical trees — this
+pins the name mapping and the OIHW→HWIO / (out,in)→(in,out) transposes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_pullback_tpu.models import UNet2D, ddpm_tiny
+from diffusion_pullback_tpu.models.convert import (
+    convert_torch_state_dict,
+    flax_params_to_torch_state_dict,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    model = UNet2D(ddpm_tiny(16))
+    params = model.init(
+        jax.random.key(3), jnp.zeros((1, 16, 16, 3)), jnp.float32(0.0)
+    )
+    return model, params
+
+
+def test_round_trip_identity(tiny_params):
+    model, params = tiny_params
+    sd = flax_params_to_torch_state_dict(params)
+    # torch-style names present
+    assert any(k.startswith("down_blocks.0.resnets.0.conv1") for k in sd)
+    assert "time_embedding.linear_1.weight" in sd
+    assert any(".downsamplers.0.weight" in k for k in sd)
+    # conv weights are OIHW
+    w = sd["conv_in.weight"]
+    assert w.shape == (8, 3, 3, 3)  # (out,in,kh,kw)
+
+    back = convert_torch_state_dict(sd, params)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_b[path]), err_msg=str(path)
+        )
+
+
+def test_missing_param_raises(tiny_params):
+    _, params = tiny_params
+    sd = flax_params_to_torch_state_dict(params)
+    sd.pop("conv_in.weight")
+    with pytest.raises(KeyError, match="conv_in"):
+        convert_torch_state_dict(sd, params)
+
+
+def test_shape_mismatch_raises(tiny_params):
+    _, params = tiny_params
+    sd = flax_params_to_torch_state_dict(params)
+    sd["conv_in.weight"] = np.zeros((9, 3, 3, 3), np.float32)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        convert_torch_state_dict(sd, params)
+
+
+def test_extra_tensor_raises_but_buffers_ignored(tiny_params):
+    _, params = tiny_params
+    sd = flax_params_to_torch_state_dict(params)
+    sd["mid_block.resnets_0.norm1.num_batches_tracked"] = np.zeros((), np.int64)
+    convert_torch_state_dict(dict(sd), params)  # buffer ignored
+    sd["surprise.weight"] = np.zeros((3, 3), np.float32)
+    with pytest.raises(KeyError, match="unconsumed"):
+        convert_torch_state_dict(sd, params)
+
+
+def test_old_diffusers_attention_names(tiny_params):
+    """query/key/value/proj_attn (diffusers 0.11 AttentionBlock) map onto
+    to_q/to_k/to_v/to_out."""
+    model, params = tiny_params
+    sd = flax_params_to_torch_state_dict(params)
+    renames = {"to_q": "query", "to_k": "key", "to_v": "value", "to_out": "proj_attn"}
+    old_sd = {}
+    for k, v in sd.items():
+        for new, old in renames.items():
+            if f".{new}." in k:
+                k = k.replace(f".{new}.", f".{old}.")
+                break
+        old_sd[k] = v
+    assert any(".query." in k for k in old_sd)
+    back = convert_torch_state_dict(old_sd, params)
+    flat_a = dict(jax.tree_util.tree_leaves_with_path(params))
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    for path in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(flat_a[path]), np.asarray(flat_b[path])
+        )

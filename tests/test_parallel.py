@@ -1,0 +1,95 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from diffusion_pullback_tpu.geometry import local_pullback
+from diffusion_pullback_tpu.models import UNet2D, ddpm_tiny
+from diffusion_pullback_tpu.ops import DiffusionSchedule
+from diffusion_pullback_tpu.parallel import (
+    make_mesh,
+    mesh_shape_for,
+    sharded_local_pullback,
+)
+from diffusion_pullback_tpu.training import create_train_state, make_train_step
+
+
+def test_mesh_shape_for():
+    assert mesh_shape_for(8, ("dp",)) == {"dp": 8}
+    s = mesh_shape_for(8, ("dp", "probe"))
+    assert s["dp"] * s["probe"] == 8 and s["probe"] > 1
+    assert mesh_shape_for(1, ("dp", "probe")) == {"dp": 1, "probe": 1}
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def _mlp():
+    key = jax.random.key(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    W1 = jax.random.normal(k1, (24, 32)) / 5.0
+    W2 = jax.random.normal(k2, (32, 16)) / 5.0
+    f = lambda x: jnp.tanh(jnp.tanh(x @ W1) @ W2)
+    x = jax.random.normal(k3, (1, 24))
+    return f, x
+
+
+def test_sharded_pullback_matches_single_device():
+    f, x = _mlp()
+    mesh = make_mesh(("probe",))
+    res_sh = sharded_local_pullback(
+        f, x, jax.random.key(0), mesh, pca_rank=8, max_iter=30, atol=1e-6
+    )
+    res_1d = local_pullback(f, x, jax.random.key(0), pca_rank=8, max_iter=30, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(res_sh.s), np.asarray(res_1d.s), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sh.vT), np.asarray(res_1d.vT), atol=1e-4
+    )
+    # vT is genuinely sharded over the probe axis
+    assert len(res_sh.vT.sharding.device_set) == 8
+
+
+def test_dp_sharded_train_step():
+    """One diffusion train step with batch sharded over dp and params
+    replicated; loss must match the unsharded step bit-for-bit-ish."""
+    cfg = ddpm_tiny(16)
+    model = UNet2D(cfg)
+    x = jnp.zeros((8, 16, 16, 3))
+    params = model.init(jax.random.key(0), x[:1], jnp.float32(0.0))
+    sched = DiffusionSchedule.linear()
+    opt = optax.adam(1e-4)
+    state = create_train_state(params, opt)
+    step = make_train_step(
+        lambda p, xt, t: model.apply(p, xt, t), sched, opt, ema_rate=0.999
+    )
+
+    batch = jnp.asarray(
+        np.random.default_rng(0).normal(size=(8, 16, 16, 3)) * 0.5, jnp.float32
+    )
+    key = jax.random.key(42)
+
+    # unsharded
+    _, m_ref = jax.jit(step)(state, batch, key)
+
+    mesh = make_mesh(("dp",))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("dp"))
+    state_sh = jax.device_put(state, repl)
+    batch_sh = jax.device_put(batch, data)
+    step_sh = jax.jit(step, in_shardings=(repl, data, repl))
+    new_state, m = step_sh(state_sh, batch_sh, key)
+    assert float(m["loss"]) == pytest.approx(float(m_ref["loss"]), rel=1e-5)
+    assert int(m["step"]) == 1
+    # ema moved toward params
+    d = jax.tree.leaves(
+        jax.tree.map(lambda e, p: float(jnp.abs(e - p).max()),
+                     new_state.ema_params, new_state.params)
+    )
+    assert max(d) > 0.0

@@ -1,0 +1,99 @@
+"""Pullback power-iteration tests against explicit Jacobian SVDs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_pullback_tpu.geometry import (
+    local_pullback,
+    pullback_covector,
+)
+from diffusion_pullback_tpu.models import TapPoint, UNet2D, ddpm_tiny
+
+
+def principal_angle_cosines(A, B):
+    """Cosines of principal angles between the row spaces of A and B."""
+    qa, _ = np.linalg.qr(np.asarray(A).T)
+    qb, _ = np.linalg.qr(np.asarray(B).T)
+    return np.linalg.svd(qa.T @ qb, compute_uv=False)
+
+
+@pytest.fixture(scope="module")
+def mlp():
+    key = jax.random.key(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    W1 = jax.random.normal(k1, (24, 32)) / 5.0
+    W2 = jax.random.normal(k2, (32, 16)) / 5.0
+
+    def f(x):  # (1, 24) -> (1, 16), nonlinear
+        return jnp.tanh(jnp.tanh(x @ W1) @ W2)
+
+    x = jax.random.normal(k3, (1, 24))
+    return f, x
+
+
+def test_matches_explicit_svd(mlp):
+    f, x = mlp
+    J = jax.jacfwd(lambda z: f(z).ravel())(x).reshape(16, -1)  # (16, 24)
+    _, s_true, vT_true = jnp.linalg.svd(J, full_matrices=False)
+
+    r = 6
+    res = local_pullback(f, x, jax.random.key(0), pca_rank=r,
+                         min_iter=10, max_iter=100, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.s[:r]), np.asarray(s_true[:r]), rtol=1e-3)
+    # per-direction alignment (σ are well separated for this random J)
+    for i in range(3):
+        c = abs(float(np.dot(np.asarray(res.vT[i]), np.asarray(vT_true[i]))))
+        assert c > 0.999, (i, c)
+    # u columns must be J v_k (norm σ_k)
+    u_exp = J @ np.asarray(res.vT).T
+    np.testing.assert_allclose(np.asarray(res.u), u_exp, atol=1e-4)
+
+
+def test_chunked_equals_unchunked(mlp):
+    f, x = mlp
+    r1 = local_pullback(f, x, jax.random.key(1), pca_rank=6, max_iter=20, atol=1e-6)
+    r2 = local_pullback(f, x, jax.random.key(1), pca_rank=6, max_iter=20,
+                        atol=1e-6, chunk_size=2)
+    np.testing.assert_allclose(np.asarray(r1.vT), np.asarray(r2.vT), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1.s), np.asarray(r2.s), rtol=1e-5)
+
+
+def test_jittable(mlp):
+    f, x = mlp
+    run = jax.jit(lambda z, k: local_pullback(f, z, k, pca_rank=4, max_iter=15))
+    res = run(x, jax.random.key(2))
+    assert res.vT.shape == (4, 24)
+    assert int(res.iterations) >= 10
+
+
+def test_unet_encoder_pullback_top_subspace():
+    """Top-3 pullback directions of a tiny U-Net mid-block encoder vs the
+    explicitly assembled Jacobian."""
+    cfg = ddpm_tiny(16)
+    model = UNet2D(cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 16, 16, 3)), jnp.float32)
+    t = jnp.float32(400.0)
+    params = model.init(jax.random.key(0), x, t)
+    tap = TapPoint("mid", 0)
+    f = lambda z: model.apply(params, z, t, tap, method=UNet2D.encode)
+
+    J = jax.jacfwd(lambda z: f(z).ravel())(x).reshape(-1, x.size)  # (dim_h, 768)
+    _, s_true, vT_true = np.linalg.svd(np.asarray(J), full_matrices=False)
+
+    res = local_pullback(f, x, jax.random.key(3), pca_rank=8,
+                         min_iter=10, max_iter=60, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.s[:3]), s_true[:3], rtol=1e-2)
+    cos = principal_angle_cosines(np.asarray(res.vT[:3]), vT_true[:3])
+    assert cos.min() > 0.99, cos
+
+
+def test_pullback_covector_is_vjp(mlp):
+    f, x = mlp
+    u = jnp.ones((1, 16))
+    v = pullback_covector(f, x, u)
+    J = jax.jacfwd(lambda z: f(z).ravel())(x).reshape(16, -1)
+    np.testing.assert_allclose(
+        np.asarray(v).ravel(), np.asarray(J.T @ u.ravel()), atol=1e-5
+    )

@@ -1,0 +1,112 @@
+"""Sampler loop tests: scan loops vs step-by-step math, boosting, guidance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_pullback_tpu.models import TapPoint, UNet2D, ddpm_tiny
+from diffusion_pullback_tpu.ops import (
+    DiffusionSchedule,
+    alpha_bar,
+    ddim_step,
+    ddim_timestep_grid,
+)
+from diffusion_pullback_tpu.samplers import (
+    ddim_forward,
+    ddim_invert,
+    performance_boost_etas,
+    x_space_guidance_scan,
+)
+
+
+def _tiny_eps_fn():
+    cfg = ddpm_tiny(16)
+    model = UNet2D(cfg)
+    x = jnp.zeros((1, 16, 16, 3))
+    params = model.init(jax.random.key(0), x, jnp.float32(0.0))
+    return model, params, lambda z, t: model.apply(params, z, t)
+
+
+def test_invert_scan_matches_manual_loop():
+    """ddim_invert's fused scan must equal the step-by-step Python loop with
+    the real (random-init) U-Net. (True round-trip fidelity needs a *trained*
+    ε model — adjacent-noise-level ε-consistency — and exact grid pairing is
+    already proven with constant ε in test_ddim.)"""
+    _, _, eps_fn = _tiny_eps_fn()
+    sched = DiffusionSchedule.linear()
+    n = 12
+    x0 = jnp.asarray(
+        np.random.default_rng(1).normal(size=(1, 16, 16, 3)) * 0.3, jnp.float32
+    )
+    inv = ddim_timestep_grid(n, inversion=True)
+    xT = jax.jit(lambda x: ddim_invert(eps_fn, x, sched, inv))(x0)
+    x = x0
+    for i in range(inv.num_steps):
+        t, tn = inv.timesteps[i], inv.timesteps_next[i]
+        et = eps_fn(x, t)
+        x = ddim_step(et, x, alpha_bar(sched, t), alpha_bar(sched, tn)).prev_sample
+    np.testing.assert_allclose(np.asarray(xT), np.asarray(x), atol=1e-5)
+    assert float(jnp.abs(xT - x0).max()) > 0.01  # inversion actually moved
+
+
+def test_forward_partial_matches_manual_steps():
+    _, _, eps_fn = _tiny_eps_fn()
+    sched = DiffusionSchedule.linear()
+    fwd = ddim_timestep_grid(10)
+    xT = jnp.asarray(np.random.default_rng(2).normal(size=(1, 16, 16, 3)), jnp.float32)
+    # scan over first 3 steps
+    out = ddim_forward(eps_fn, xT, sched, fwd, start_idx=0, end_idx=3)
+    # manual
+    x = xT
+    for i in range(3):
+        t, tn = fwd.timesteps[i], fwd.timesteps_next[i]
+        et = eps_fn(x, t)
+        x = ddim_step(et, x, alpha_bar(sched, t), alpha_bar(sched, tn)).prev_sample
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=2e-4, atol=1e-4)
+
+
+def test_performance_boost_etas():
+    etas = performance_boost_etas(10, 7)
+    np.testing.assert_array_equal(
+        np.asarray(etas), [0, 0, 0, 0, 0, 0, 0, 1, 1, 0]
+    )
+    assert not np.any(np.asarray(performance_boost_etas(10, None)))
+    # boosting at the final step index is disabled entirely
+    np.testing.assert_array_equal(
+        np.asarray(performance_boost_etas(10, 9)), np.zeros(10)
+    )
+
+
+def test_boosted_forward_runs_and_differs():
+    _, _, eps_fn = _tiny_eps_fn()
+    sched = DiffusionSchedule.linear()
+    fwd = ddim_timestep_grid(10)
+    xT = jnp.asarray(np.random.default_rng(3).normal(size=(1, 16, 16, 3)), jnp.float32)
+    det = ddim_forward(eps_fn, xT, sched, fwd)
+    sto = ddim_forward(
+        eps_fn, xT, sched, fwd, boost_start_idx=5, key=jax.random.key(0)
+    )
+    assert sto.shape == det.shape
+    assert float(jnp.abs(sto - det).max()) > 1e-4  # noise actually injected
+
+
+def test_x_space_guidance_trajectory():
+    _, _, eps_fn = _tiny_eps_fn()
+    z0 = jnp.asarray(np.random.default_rng(4).normal(size=(1, 16, 16, 3)), jnp.float32)
+    vk = jnp.asarray(np.random.default_rng(5).normal(size=(1, 16, 16, 3)), jnp.float32)
+    vk = vk / jnp.linalg.norm(vk)
+    t = jnp.float32(500.0)
+    traj = x_space_guidance_scan(
+        eps_fn, z0, t, vk, num_steps=4, edit_step=1.0, scale=0.1
+    )
+    assert traj.shape == (5, 1, 16, 16, 3)
+    np.testing.assert_array_equal(np.asarray(traj[0]), np.asarray(z0))
+    # each micro-step must match the manual 2-batch formula
+    z = z0
+    for i in range(4):
+        pair = jnp.concatenate([z, z + 1.0 * vk], axis=0)
+        et = eps_fn(pair, t)
+        z = z + 0.1 * (et[1:] - et[:1])
+        np.testing.assert_allclose(
+            np.asarray(traj[i + 1]), np.asarray(z), rtol=2e-4, atol=1e-5
+        )
