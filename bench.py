@@ -38,30 +38,31 @@ def main():
     t_edit = jnp.float32(699.3)  # 0.7T grid point
     params = jax.jit(lambda k: model.init(k, x, t_edit))(jax.random.key(0))
 
-    eps_fn = lambda z, t: model.apply(params, z, t)
+    # params always enter through jit arguments (closed-over weights would
+    # be baked into the HLO as literals — oversized programs, no donation)
+    eps_of = lambda p: (lambda z, t: model.apply(p, z, t))
     tap = TapPoint("mid", 0)
-    encode_fn = lambda z: model.apply(params, z, t_edit, tap, method=UNet2D.encode)
 
     # --- 1. DDIM steps/sec (100-step forward scan, batch 1) ----------------
     grid100 = ddim_timestep_grid(100)
-    fwd = jax.jit(lambda z: ddim_forward(eps_fn, z, sched, grid100))
-    fwd(x).block_until_ready()  # compile
+    fwd = jax.jit(lambda p, z: ddim_forward(eps_of(p), z, sched, grid100))
+    fwd(params, x).block_until_ready()  # compile
     t0 = time.perf_counter()
-    fwd(x).block_until_ready()
+    fwd(params, x).block_until_ready()
     ddim_sec = time.perf_counter() - t0
     ddim_steps_per_sec = grid100.num_steps / ddim_sec
 
     # --- 2. pullback: top-1 PC via 5 power iterations (r=8 probes) ---------
     RANK, ITERS = 8, 5
     pull = jax.jit(
-        lambda z, k: local_pullback(
-            encode_fn, z, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS,
-            atol=0.0,
+        lambda p, z, k: local_pullback(
+            lambda zz: model.apply(p, zz, t_edit, tap, method=UNet2D.encode),
+            z, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS, atol=0.0,
         )
     )
-    jax.block_until_ready(pull(x, jax.random.key(2)))  # compile
+    jax.block_until_ready(pull(params, x, jax.random.key(2)))  # compile
     t0 = time.perf_counter()
-    res = pull(x, jax.random.key(2))
+    res = pull(params, x, jax.random.key(2))
     jax.block_until_ready(res)
     pull_sec = time.perf_counter() - t0
     # each iteration runs RANK jvp + RANK vjp probe passes, plus RANK final jvps
@@ -72,7 +73,8 @@ def main():
     grid20 = ddim_timestep_grid(20)
     edit_t_idx = 6  # ~0.7T on the 20-grid
 
-    def edit(z, v):
+    def edit(p, z, v):
+        eps_fn = eps_of(p)
         traj = x_space_guidance_scan(
             eps_fn, z, grid20.timesteps[edit_t_idx], v,
             num_steps=16, edit_step=0.1, scale=0.1,
@@ -81,9 +83,9 @@ def main():
         return ddim_forward(eps_fn, z_edit, sched, grid20, start_idx=edit_t_idx)
 
     edit_jit = jax.jit(edit)
-    edit_jit(x, vk).block_until_ready()  # compile
+    edit_jit(params, x, vk).block_until_ready()  # compile
     t0 = time.perf_counter()
-    edit_jit(x, vk).block_until_ready()
+    edit_jit(params, x, vk).block_until_ready()
     edit_sec = time.perf_counter() - t0
 
     e2e = pull_sec + edit_sec

@@ -1,9 +1,12 @@
 from .cache import BasisCache, basis_name
+from .edit_sd import EditStableDiffusion, SDExperimentConfig
 from .edit_uncond import EditUncondDiffusion, UncondExperimentConfig
 
 __all__ = [
     "BasisCache",
     "basis_name",
+    "EditStableDiffusion",
+    "SDExperimentConfig",
     "EditUncondDiffusion",
     "UncondExperimentConfig",
 ]

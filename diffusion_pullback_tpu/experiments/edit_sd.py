@@ -1,0 +1,352 @@
+"""Stable-Diffusion editing experiments (latent-space pullback).
+
+TPU-native counterpart of the reference's `EditStableDiffusion`
+(/root/reference/src/modules/edit.py:31-535): prompt embedding via the CLIP
+text tower, VAE encode → DDIM inversion → partial forward → latent pullback
+at a U-Net tap → x-space-guidance editing (edit-prompt conditioned) → finish
+sampling → VAE decode. CFG evaluates [neg; for] as one 2·B batch inside the
+same jit (the reference's memory_bound chunking disappears — the batch is
+just an array axis).
+
+Pullback conditioning matches the reference: the encoder Jacobian is taken
+with the *edit prompt* embedding (edit.py:236-239 passes edit_prompt_emb),
+and each guidance micro-step conditions both rows on the edit prompt
+(edit.py:493-496).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import local_pullback
+from ..models.clip_text import CLIPTextModel, load_tokenizer
+from ..models.unet2d import TapPoint
+from ..models.unet2d_condition import UNet2DCondition
+from ..models.vae import AutoencoderKL
+from ..ops.schedule import DiffusionSchedule, ddim_timestep_grid
+from ..samplers.ddim_loop import ddim_forward, ddim_invert
+from ..samplers.guidance import x_space_guidance_scan
+from ..utils.images import save_image_grid
+from ..utils.logging import JSONLLogger
+from .cache import BasisCache, basis_name
+
+
+@dataclasses.dataclass
+class SDExperimentConfig:
+    dataset_name: str = "Examples"
+    for_steps: int = 100
+    inv_steps: int = 100
+    edit_t: float = 0.7
+    seed: int = 0
+    guidance_scale: float = 0.0        # scripts run CFG off (SURVEY §3 landmine)
+    for_prompt: str = ""
+    neg_prompt: str = ""
+    inv_prompt: str = ""
+    edit_prompt: str = ""
+    x_space_guidance_edit_step: float = 1.0
+    x_space_guidance_scale: float = 1.0
+    x_space_guidance_num_step: int = 16
+    pca_rank: int = 2
+    pullback_min_iter: int = 10
+    pullback_max_iter: int = 50
+    pullback_atol: float = 1e-4
+    pullback_chunk_size: Optional[int] = None
+    result_folder: str = "./runs/sd"
+    obs_folder: str = "./runs/sd/obs"
+    basis_folder: str = "./inputs/local_encoder_pullback_stable_diffusion"
+    vis_num: int = 4
+    vis_num_pc: int = 2
+
+
+class EditStableDiffusion:
+    def __init__(
+        self,
+        unet: UNet2DCondition,
+        unet_params,
+        vae: AutoencoderKL,
+        vae_params,
+        text_model: CLIPTextModel,
+        text_params,
+        schedule: DiffusionSchedule,
+        dataset,
+        config: SDExperimentConfig,
+        tokenizer=None,
+        logger: Optional[JSONLLogger] = None,
+    ):
+        self.unet, self.unet_params = unet, unet_params
+        self.vae, self.vae_params = vae, vae_params
+        self.text_model, self.text_params = text_model, text_params
+        self.schedule = schedule
+        self.dataset = dataset
+        self.cfg = config
+        self.tokenizer = tokenizer or load_tokenizer(text_model.config)
+        self.log = logger or JSONLLogger(
+            os.path.join(config.result_folder, "log.jsonl")
+        )
+        self.cache = BasisCache(config.basis_folder)
+
+        self.fwd_grid = ddim_timestep_grid(config.for_steps)
+        self.inv_grid = ddim_timestep_grid(config.inv_steps, inversion=True)
+        self.edit_t_idx = int(
+            jnp.argmin(jnp.abs(self.fwd_grid.timesteps - config.edit_t * 1000.0))
+        )
+
+        # prompt embeddings: for / neg / null / inv / edit (edit.py:65-75)
+        embed = jax.jit(lambda ids: self.text_model.apply(self.text_params, ids))
+        get_emb = lambda p: embed(jnp.asarray(self.tokenizer([p])))
+        self.for_prompt_emb = get_emb(config.for_prompt)
+        self.neg_prompt_emb = get_emb(config.neg_prompt)
+        self.null_prompt_emb = get_emb("")
+        self.inv_prompt_emb = get_emb(config.inv_prompt)
+        self.edit_prompt_emb = get_emb(config.edit_prompt)
+
+        self._jit_cache = {}
+
+    # ---- eps functions ----------------------------------------------------
+
+    def eps_with(self, params, prompt_emb, cfg_neg_emb=None):
+        """ε(z, t) closure over *traced* params/prompt embeddings; with
+        ``cfg_neg_emb`` applies classifier-free guidance via a fused 2·B
+        batch (reference edit.py:446-463). Params/embeddings must be passed
+        through jit arguments — closing over concrete weights would bake
+        them into the HLO as literals."""
+        scale = self.cfg.guidance_scale
+
+        if cfg_neg_emb is None or scale <= 1.0:
+            def fn(z, t):
+                return self.unet.apply(params, z, t, prompt_emb)
+            return fn
+
+        def fn(z, t):
+            b = z.shape[0]
+            zz = jnp.concatenate([z, z], axis=0)
+            ctx = jnp.concatenate(
+                [
+                    jnp.broadcast_to(cfg_neg_emb, (b,) + cfg_neg_emb.shape[1:]),
+                    jnp.broadcast_to(prompt_emb, (b,) + prompt_emb.shape[1:]),
+                ],
+                axis=0,
+            )
+            eps = self.unet.apply(params, zz, t, ctx)
+            e_un, e_c = jnp.split(eps, 2, axis=0)
+            return e_un + scale * (e_c - e_un)
+
+        return fn
+
+    def _jitted(self, name, fn):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
+
+    # ---- pipelines --------------------------------------------------------
+
+    def encode_image(self, idx: int, sample_key=None) -> jax.Array:
+        x0 = jnp.asarray(self.dataset[idx])
+        enc = self._jitted(
+            "vae_encode",
+            lambda p, x: self.vae.apply(p, x, method=AutoencoderKL.encode),
+        )
+        return enc(self.vae_params, x0)
+
+    def run_DDIMinversion(self, idx: int) -> jax.Array:
+        """image → z0 (VAE, ×scaling) → zT (edit.py:112-183)."""
+        z0 = self.encode_image(idx)
+        invert = self._jitted(
+            "invert",
+            lambda p, emb, z: ddim_invert(
+                self.eps_with(p, emb), z, self.schedule, self.inv_grid
+            ),
+        )
+        t0 = time.perf_counter()
+        zT = invert(self.unet_params, self.inv_prompt_emb, z0)
+        zT.block_until_ready()
+        self.log.log("sd_ddim_inversion", idx=idx, seconds=time.perf_counter() - t0)
+        return zT
+
+    def DDIMforwardsteps(self, zt, t_start_idx, t_end_idx=None):
+        key = (t_start_idx, t_end_idx, zt.shape[0])
+        fn = self._jitted(
+            f"fwd_{key}",
+            lambda p, fe, ne, z: ddim_forward(
+                self.eps_with(p, fe, ne), z, self.schedule, self.fwd_grid,
+                start_idx=t_start_idx, end_idx=t_end_idx,
+            ),
+        )
+        return fn(self.unet_params, self.for_prompt_emb, self.neg_prompt_emb, zt)
+
+    def decode_latents(self, z) -> np.ndarray:
+        dec = self._jitted(
+            f"vae_decode_{z.shape[0]}",
+            lambda p, zz: self.vae.apply(p, zz, method=AutoencoderKL.decode),
+        )
+        return np.asarray(dec(self.vae_params, z))
+
+    def run_DDIMforward(self, num_samples=5, save_as=None):
+        s = self.unet.config.sample_size
+        c = self.unet.config.in_channels
+        zT = jax.random.normal(
+            jax.random.key(self.cfg.seed), (num_samples, s, s, c), jnp.float32
+        )
+        z0 = self.DDIMforwardsteps(zT, 0)
+        x0 = self.decode_latents(z0)
+        if save_as:
+            save_image_grid(x0, save_as)
+        return x0
+
+    def compute_local_basis(self, zt, t, tap: TapPoint, pca_rank: int):
+        run = self._jitted(
+            f"pullback_{tap}_{pca_rank}",
+            lambda p, emb, z, tt, k: local_pullback(
+                lambda zz: self.unet.apply(
+                    p, zz, tt, emb, tap, method=UNet2DCondition.encode
+                ),
+                z, k,
+                pca_rank=pca_rank,
+                min_iter=self.cfg.pullback_min_iter,
+                max_iter=self.cfg.pullback_max_iter,
+                atol=self.cfg.pullback_atol,
+                chunk_size=self.cfg.pullback_chunk_size,
+            ),
+        )
+        t0 = time.perf_counter()
+        res = run(self.unet_params, self.edit_prompt_emb, zt, t,
+                  jax.random.key(self.cfg.seed))
+        jax.block_until_ready(res)
+        self.log.log(
+            "sd_local_pullback",
+            seconds=time.perf_counter() - t0,
+            iterations=int(res.iterations),
+            top_s=np.asarray(res.s[:3]).round(4),
+        )
+        return res
+
+    def run_edit_local_encoder_pullback_zt(
+        self,
+        idx: int,
+        op: str = "mid",
+        block_idx: int = 0,
+        pca_rank: Optional[int] = None,
+        vis_num: Optional[int] = None,
+        vis_num_pc: Optional[int] = None,
+        edit_prompt: Optional[str] = None,
+        edit_t: Optional[float] = None,
+    ):
+        """Headline SD experiment (edit.py:185-307)."""
+        cfg = self.cfg
+        if edit_prompt is not None:
+            cfg.edit_prompt = edit_prompt
+            embed = jax.jit(lambda ids: self.text_model.apply(self.text_params, ids))
+            self.edit_prompt_emb = embed(jnp.asarray(self.tokenizer([edit_prompt])))
+        pca_rank = pca_rank or cfg.pca_rank
+        vis_num = vis_num or cfg.vis_num
+        vis_num_pc = vis_num_pc or cfg.vis_num_pc
+        tap = TapPoint(op, block_idx)
+
+        zT = self.run_DDIMinversion(idx)
+        zt = self.DDIMforwardsteps(zT, 0, self.edit_t_idx)
+        t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
+
+        name = basis_name(
+            cfg.dataset_name, idx, cfg.edit_t, op, block_idx, cfg.seed,
+            edit_prompt=cfg.edit_prompt,
+        )
+        cached = self.cache.load(name)
+        if cached is not None:
+            u, s, vT = map(jnp.asarray, cached)
+            self.log.log("basis_cache_hit", name=name)
+        else:
+            res = self.compute_local_basis(zt, t_edit, tap, pca_rank)
+            u, s, vT = res.u, res.s, res.vT
+            self.cache.save(name, u, s, vT)
+
+        u = u / jnp.linalg.norm(u, axis=0, keepdims=True)
+        vT = vT / jnp.linalg.norm(vT, axis=1, keepdims=True)
+
+        shape = zt.shape[1:]
+        vks, names = [], []
+        for pc in range(vis_num_pc):
+            for sign, tag in ((1.0, "pos"), (-1.0, "neg")):
+                vks.append(sign * vT[pc].reshape(shape))
+                names.append(
+                    f"Edit_zt-{cfg.dataset_name}_{idx}-edit_{cfg.edit_t}T-{op}"
+                    f"-block_{block_idx}-pc_{pc:03d}_{tag}"
+                    f"-edit_prompt_{cfg.edit_prompt}"
+                )
+        todo = [i for i, n in enumerate(names) if not os.path.exists(
+            os.path.join(cfg.result_folder, n + ".png"))]
+        if not todo:
+            self.log.log("all_edits_cached", idx=idx)
+            return names
+        vk_batch = jnp.stack([vks[i] for i in todo])
+
+        stride = max(1, (cfg.x_space_guidance_num_step + 1) // vis_num)
+
+        def edit_one(p, ee, fe, ne, z_start, vk):
+            edit_eps = self.eps_with(p, ee)
+            for_eps = self.eps_with(p, fe, ne)
+            traj = x_space_guidance_scan(
+                edit_eps, z_start, t_edit, vk[None],
+                num_steps=cfg.x_space_guidance_num_step,
+                edit_step=cfg.x_space_guidance_edit_step,
+                scale=cfg.x_space_guidance_scale,
+            )
+            sel = traj[::stride, 0]
+            return ddim_forward(
+                for_eps, sel, self.schedule, self.fwd_grid,
+                start_idx=self.edit_t_idx,
+            )
+
+        run_all = self._jitted(
+            f"sd_edit_batch_{len(todo)}_{stride}",
+            lambda p, ee, fe, ne, z_start, vs: jax.vmap(
+                lambda vk: edit_one(p, ee, fe, ne, z_start, vk)
+            )(vs),
+        )
+        t0 = time.perf_counter()
+        z0s = run_all(self.unet_params, self.edit_prompt_emb,
+                      self.for_prompt_emb, self.neg_prompt_emb, zt, vk_batch)
+        z0s.block_until_ready()
+        self.log.log(
+            "sd_x_space_guidance_edit",
+            directions=len(todo),
+            seconds=time.perf_counter() - t0,
+        )
+
+        for j, i in enumerate(todo):
+            imgs = self.decode_latents(z0s[j])
+            save_image_grid(
+                imgs, os.path.join(cfg.result_folder, names[i] + ".png")
+            )
+        return names
+
+    def run_sample_encoder_local_tangent_space_zt(
+        self, idx: int, op="mid", block_idx=0, pca_rank=50, h_t=1.0,
+        edit_prompt: Optional[str] = None,
+    ):
+        """Basis harvesting at one (t, prompt) point (edit.py:309-383)."""
+        cfg = self.cfg
+        tap = TapPoint(op, block_idx)
+        if edit_prompt is not None:
+            embed = jax.jit(lambda ids: self.text_model.apply(self.text_params, ids))
+            self.edit_prompt_emb = embed(jnp.asarray(self.tokenizer([edit_prompt])))
+            cfg.edit_prompt = edit_prompt
+        name = basis_name(
+            cfg.dataset_name, idx, h_t, op, block_idx, cfg.seed,
+            edit_prompt=cfg.edit_prompt,
+        )
+        if self.cache.load(name) is not None:
+            return self.cache.path(name)
+        t_idx = int(jnp.argmin(jnp.abs(self.fwd_grid.timesteps - h_t * 1000.0)))
+        zT = self.run_DDIMinversion(idx)
+        zt = self.DDIMforwardsteps(zT, 0, t_idx) if t_idx > 0 else zT
+        res = self.compute_local_basis(
+            zt, self.fwd_grid.timesteps[t_idx], tap, pca_rank
+        )
+        return self.cache.save(name, res.u, res.s, res.vT)

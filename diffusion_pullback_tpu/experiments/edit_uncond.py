@@ -101,13 +101,18 @@ class EditUncondDiffusion:
         )
         self.boost_start_idx = int(below.argmax()) if below.any() else None
 
-        self._eps = lambda z, t: self.model.apply(self.params, z, t)
         self._jit_cache = {}
 
     # ---- building blocks --------------------------------------------------
+    # NOTE: params are always explicit jit arguments — closing over them
+    # would bake ~450MB of weights into the HLO as literals (and overflow
+    # the axon remote-compile transport).
+
+    def _eps_with(self, params):
+        return lambda z, t: self.model.apply(params, z, t)
 
     def eps_fn(self, z, t):
-        return self._eps(z, t)
+        return self.model.apply(self.params, z, t)
 
     def _jitted(self, name, fn):
         if name not in self._jit_cache:
@@ -119,10 +124,12 @@ class EditUncondDiffusion:
         x0 = jnp.asarray(self.dataset[idx])
         invert = self._jitted(
             "invert",
-            lambda x: ddim_invert(self._eps, x, self.schedule, self.inv_grid),
+            lambda p, x: ddim_invert(
+                self._eps_with(p), x, self.schedule, self.inv_grid
+            ),
         )
         t0 = time.perf_counter()
-        xT = invert(x0)
+        xT = invert(self.params, x0)
         xT.block_until_ready()
         self.log.log("ddim_inversion", idx=idx, seconds=time.perf_counter() - t0)
         return xT
@@ -135,9 +142,11 @@ class EditUncondDiffusion:
         xT = jax.random.normal(key, (num_samples, s, s, 3), jnp.float32)
         fwd = self._jitted(
             f"forward_{num_samples}",
-            lambda x: ddim_forward(self._eps, x, self.schedule, self.fwd_grid),
+            lambda p, x: ddim_forward(
+                self._eps_with(p), x, self.schedule, self.fwd_grid
+            ),
         )
-        x0 = fwd(xT)
+        x0 = fwd(self.params, xT)
         x0.block_until_ready()
         if save_as:
             save_image_grid(np.asarray(x0), save_as)
@@ -146,31 +155,30 @@ class EditUncondDiffusion:
     def forward_to_edit_t(self, xT: jax.Array) -> jax.Array:
         fn = self._jitted(
             "fwd_to_edit_t",
-            lambda x: ddim_forward(
-                self._eps, x, self.schedule, self.fwd_grid,
+            lambda p, x: ddim_forward(
+                self._eps_with(p), x, self.schedule, self.fwd_grid,
                 start_idx=0, end_idx=self.edit_t_idx,
             ),
         )
-        return fn(xT)
+        return fn(self.params, xT)
 
     def compute_local_basis(
         self, xt: jax.Array, t: jax.Array, tap: TapPoint, pca_rank: int
     ):
-        encode = lambda z: self.model.apply(
-            self.params, z, t, tap, method=UNet2D.encode
-        )
-        run = jax.jit(
-            lambda z, k: local_pullback(
-                encode, z, k,
+        run = self._jitted(
+            f"pullback_{tap}_{pca_rank}",
+            lambda p, z, tt, k: local_pullback(
+                lambda zz: self.model.apply(p, zz, tt, tap, method=UNet2D.encode),
+                z, k,
                 pca_rank=pca_rank,
                 min_iter=self.cfg.pullback_min_iter,
                 max_iter=self.cfg.pullback_max_iter,
                 atol=self.cfg.pullback_atol,
                 chunk_size=self.cfg.pullback_chunk_size,
-            )
+            ),
         )
         t0 = time.perf_counter()
-        res = run(xt, jax.random.key(self.cfg.seed))
+        res = run(self.params, xt, t, jax.random.key(self.cfg.seed))
         jax.block_until_ready(res)
         self.log.log(
             "local_pullback",
@@ -245,16 +253,17 @@ class EditUncondDiffusion:
         stride = max(1, (cfg.x_space_guidance_num_step + 1) // vis_num)
         boost = self.boost_start_idx if cfg.use_performance_boosting else None
 
-        def edit_one(vk, key):
+        def edit_one(p, vk, key):
+            eps = self._eps_with(p)
             traj = x_space_guidance_scan(
-                self._eps, xt, t_edit, vk[None],
+                eps, xt, t_edit, vk[None],
                 num_steps=cfg.x_space_guidance_num_step,
                 edit_step=cfg.x_space_guidance_edit_step,
                 scale=cfg.x_space_guidance_scale,
             )                                   # (S+1, 1, H, W, C)
             sel = traj[::stride, 0]             # (vis, H, W, C)
             return ddim_forward(
-                self._eps, sel, self.schedule, self.fwd_grid,
+                eps, sel, self.schedule, self.fwd_grid,
                 start_idx=self.edit_t_idx,
                 boost_start_idx=boost,
                 key=key,
@@ -262,11 +271,13 @@ class EditUncondDiffusion:
 
         run_all = self._jitted(
             f"edit_batch_{len(todo)}_{stride}",
-            lambda vs, keys: jax.vmap(edit_one)(vs, keys),
+            lambda p, vs, keys: jax.vmap(
+                lambda vk, k: edit_one(p, vk, k)
+            )(vs, keys),
         )
         keys = jax.random.split(jax.random.key(cfg.seed + 1), len(todo))
         t0 = time.perf_counter()
-        imgs = run_all(vk_batch, keys)
+        imgs = run_all(self.params, vk_batch, keys)
         imgs.block_until_ready()
         self.log.log(
             "x_space_guidance_edit",
@@ -308,11 +319,11 @@ class EditUncondDiffusion:
                 continue
             xt = self._jitted(
                 f"fwd_to_{t_idx}",
-                partial(
-                    ddim_forward, self._eps, schedule=self.schedule,
-                    grid=self.fwd_grid, start_idx=0, end_idx=t_idx,
+                lambda p, x, _t_idx=t_idx: ddim_forward(
+                    self._eps_with(p), x, schedule=self.schedule,
+                    grid=self.fwd_grid, start_idx=0, end_idx=_t_idx,
                 ),
-            )(xT)
+            )(self.params, xT)
             res = self.compute_local_basis(
                 xt, self.fwd_grid.timesteps[t_idx], tap, pca_rank
             )

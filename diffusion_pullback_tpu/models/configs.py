@@ -78,3 +78,133 @@ def ddpm_tiny(sample_size: int = 32) -> UNet2DConfig:
         layers_per_block=1,
         norm_num_groups=4,
     )
+
+
+@dataclasses.dataclass(frozen=True)
+class UNet2DConditionConfig:
+    """Text-conditioned U-Net (Stable Diffusion family).
+
+    ``down_block_types`` entries: 'cross' | 'down'; up: 'cross' | 'up'.
+    ``attention_heads`` is per-block (SD2.1: ch/64 heads of dim 64; SD1.5:
+    8 heads everywhere); ``transformer_depth`` per-block (SDXL uses 2/10).
+    """
+
+    sample_size: int = 64
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    down_block_types: Tuple[str, ...] = ("cross", "cross", "cross", "down")
+    up_block_types: Tuple[str, ...] = ("up", "cross", "cross", "cross")
+    layers_per_block: int = 2
+    attention_heads: Tuple[int, ...] = (5, 10, 20, 20)
+    attention_head_dim: int = 64
+    transformer_depth: Tuple[int, ...] = (1, 1, 1, 1)
+    cross_attention_dim: int = 1024
+    use_linear_projection: bool = True
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    dropout: float = 0.0
+    flip_sin_to_cos: bool = True
+    freq_shift: float = 0.0
+    dtype: str = "float32"
+    precision: Optional[str] = None
+    attn_impl: str = "xla"
+
+
+def sd21_base_unet(**over) -> UNet2DConditionConfig:
+    """stabilityai/stable-diffusion-2-1-base U-Net (the reference's scripted
+    model, src/scripts/main_various_local_encoder_pullback_*.sh)."""
+    return UNet2DConditionConfig(**over)
+
+
+def sd15_unet(**over) -> UNet2DConditionConfig:
+    """runwayml/stable-diffusion-v1-5 U-Net: 8 heads per block, conv
+    projections, CLIP-L context (768)."""
+    return UNet2DConditionConfig(
+        attention_heads=(8, 8, 8, 8),
+        attention_head_dim=40,  # overridden per-block below via heads*dim=ch
+        cross_attention_dim=768,
+        use_linear_projection=False,
+        **over,
+    )
+
+
+def sd_tiny_unet(sample_size: int = 8) -> UNet2DConditionConfig:
+    """Tiny SD-style config for tests."""
+    return UNet2DConditionConfig(
+        sample_size=sample_size,
+        block_out_channels=(8, 16),
+        down_block_types=("cross", "down"),
+        up_block_types=("up", "cross"),
+        layers_per_block=1,
+        attention_heads=(2, 2),
+        attention_head_dim=4,
+        transformer_depth=(1, 1),
+        cross_attention_dim=16,
+        norm_num_groups=4,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    """AutoencoderKL (SD latent VAE)."""
+
+    sample_size: int = 512
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    scaling_factor: float = 0.18215
+    dtype: str = "float32"
+    precision: Optional[str] = None
+
+
+def sd_vae() -> VAEConfig:
+    return VAEConfig()
+
+
+def vae_tiny(sample_size: int = 32) -> VAEConfig:
+    return VAEConfig(
+        sample_size=sample_size,
+        block_out_channels=(8, 16),
+        layers_per_block=1,
+        norm_num_groups=4,
+        latent_channels=4,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    """CLIP/OpenCLIP text encoder (SD prompt embedder)."""
+
+    vocab_size: int = 49408
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_layers: int = 23
+    num_heads: int = 16
+    max_length: int = 77
+    hidden_act: str = "gelu"
+    dtype: str = "float32"
+    precision: Optional[str] = None
+
+
+def sd21_text_encoder() -> CLIPTextConfig:
+    """OpenCLIP ViT-H/14 text tower as shipped with SD2.1 (23 transformer
+    layers — the checkpoint is already truncated to the penultimate layer)."""
+    return CLIPTextConfig()
+
+
+def sd15_text_encoder() -> CLIPTextConfig:
+    return CLIPTextConfig(
+        hidden_size=768, intermediate_size=3072, num_layers=12, num_heads=12,
+        hidden_act="quick_gelu",
+    )
+
+
+def clip_text_tiny() -> CLIPTextConfig:
+    return CLIPTextConfig(
+        vocab_size=128, hidden_size=16, intermediate_size=32,
+        num_layers=2, num_heads=2, max_length=8,
+    )

@@ -89,6 +89,8 @@ def convert_torch_state_dict(
             tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor
         )
         path, leaf = _torch_name_to_flax_path(name)
+        if leaf in ("num_batches_tracked", "position_ids"):
+            continue  # torch buffers with no Flax counterpart
         # downsamplers_0 / upsamplers_0 keep an inner 'conv' module
         if path and path[-1] in ("downsamplers_0", "upsamplers_0"):
             path = path + ("conv",)

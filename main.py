@@ -88,9 +88,108 @@ def build_uncond(args):
 
 
 def build_sd(args):
-    raise NotImplementedError(
-        "Stable Diffusion family lands with models/unet2d_condition + vae + "
-        "clip_text (build plan stage 7)"
+    import dataclasses
+
+    from diffusion_pullback_tpu.experiments import (
+        EditStableDiffusion,
+        SDExperimentConfig,
+    )
+    from diffusion_pullback_tpu.models import (
+        AutoencoderKL,
+        CLIPTextModel,
+        UNet2DCondition,
+        sd21_base_unet,
+        sd21_text_encoder,
+        sd_vae,
+    )
+    from diffusion_pullback_tpu.ops import DiffusionSchedule
+    from diffusion_pullback_tpu.utils.datasets import get_dataset
+    from diffusion_pullback_tpu.utils.logging import JSONLLogger
+
+    ucfg = sd21_base_unet()
+    if args.dtype == "bf16":
+        ucfg = dataclasses.replace(ucfg, dtype="bfloat16")
+    if args.matmul_precision:
+        ucfg = dataclasses.replace(ucfg, precision=args.matmul_precision)
+    if args.attn_impl:
+        ucfg = dataclasses.replace(ucfg, attn_impl=args.attn_impl)
+    unet = UNet2DCondition(ucfg)
+    vae = AutoencoderKL(sd_vae())
+    text = CLIPTextModel(sd21_text_encoder())
+
+    s, c = ucfg.sample_size, ucfg.in_channels
+    z0 = jnp.zeros((1, s, s, c))
+    ctx0 = jnp.zeros((1, text.config.max_length, ucfg.cross_attention_dim))
+    x0 = jnp.zeros((1, args.image_size * 8, args.image_size * 8, 3))
+    ids0 = jnp.zeros((1, text.config.max_length), jnp.int32)
+
+    if args.checkpoint_path:
+        from diffusion_pullback_tpu.models.convert import (
+            convert_torch_state_dict,
+            load_torch_checkpoint_file,
+        )
+
+        root = args.checkpoint_path
+        def load(model, example_args, sub):
+            template = jax.eval_shape(
+                lambda k: model.init(k, *example_args), jax.random.key(0)
+            )
+            template = jax.tree.map(lambda t: jnp.zeros(t.shape, t.dtype), template)
+            sd = load_torch_checkpoint_file(os.path.join(root, sub))
+            return convert_torch_state_dict(sd, template)
+
+        unet_params = load(unet, (z0, jnp.float32(0.0), ctx0),
+                           "unet/diffusion_pytorch_model.bin")
+        vae_params = load(vae, (x0,), "vae/diffusion_pytorch_model.bin")
+        text_params = load(text, (ids0,), "text_encoder/pytorch_model.bin")
+    else:
+        print("[main] no --checkpoint_path: deterministic random init (offline)")
+        unet_params = jax.jit(
+            lambda k: unet.init(k, z0, jnp.float32(0.0), ctx0)
+        )(jax.random.key(args.seed))
+        vae_params = jax.jit(lambda k: vae.init(k, x0))(jax.random.key(args.seed + 1))
+        text_params = jax.jit(lambda k: text.init(k, ids0))(jax.random.key(args.seed + 2))
+
+    try:
+        dataset = get_dataset(
+            args.dataset_name or "noise", args.image_size * 8,
+            args.data_root or None,
+        )
+    except FileNotFoundError as e:
+        print(f"[main] {e}; falling back to offline noise dataset")
+        from diffusion_pullback_tpu.utils.datasets import NoiseDataset
+
+        dataset = NoiseDataset(args.image_size * 8)
+
+    exp_cfg = SDExperimentConfig(
+        dataset_name=args.dataset_name or "noise",
+        for_steps=args.for_steps,
+        inv_steps=args.inv_steps,
+        edit_t=args.edit_t,
+        seed=args.seed,
+        guidance_scale=args.guidance_scale,
+        for_prompt=args.for_prompt,
+        neg_prompt=args.neg_prompt,
+        inv_prompt=args.inv_prompt,
+        edit_prompt=args.edit_prompt,
+        x_space_guidance_edit_step=args.x_space_guidance_edit_step,
+        x_space_guidance_scale=args.x_space_guidance_scale or 1.0,
+        x_space_guidance_num_step=args.x_space_guidance_num_step or 16,
+        pca_rank=args.pca_rank,
+        pullback_chunk_size=args.pullback_chunk_size or None,
+        result_folder=args.result_folder,
+        obs_folder=args.obs_folder,
+        basis_folder=os.path.join(
+            "./inputs",
+            f"local_encoder_pullback_stable_diffusion-dataset_{args.dataset_name}"
+            f"-num_steps_{args.for_steps}-pca_rank_{args.pca_rank}",
+        ),
+    )
+    logger = JSONLLogger(os.path.join(args.exp_folder, "log.jsonl"))
+    return EditStableDiffusion(
+        unet, unet_params, vae, vae_params, text, text_params,
+        DiffusionSchedule.from_name("scaled_linear"), dataset, exp_cfg,
+        logger=logger,
     )
 
 

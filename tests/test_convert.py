@@ -66,7 +66,7 @@ def test_shape_mismatch_raises(tiny_params):
 def test_extra_tensor_raises_but_buffers_ignored(tiny_params):
     _, params = tiny_params
     sd = flax_params_to_torch_state_dict(params)
-    sd["mid_block.resnets_0.norm1.num_batches_tracked"] = np.zeros((), np.int64)
+    sd["mid_block.resnets.0.norm1.num_batches_tracked"] = np.zeros((), np.int64)
     convert_torch_state_dict(dict(sd), params)  # buffer ignored
     sd["surprise.weight"] = np.zeros((3, 3), np.float32)
     with pytest.raises(KeyError, match="unconsumed"):

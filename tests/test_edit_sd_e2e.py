@@ -1,0 +1,97 @@
+"""End-to-end SD experiment on tiny configs: prompt embed → VAE encode →
+inversion → pullback → prompt-conditioned edit → decode → PNGs."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffusion_pullback_tpu.experiments import (
+    EditStableDiffusion,
+    SDExperimentConfig,
+)
+from diffusion_pullback_tpu.models import (
+    AutoencoderKL,
+    CLIPTextModel,
+    UNet2DCondition,
+    clip_text_tiny,
+    sd_tiny_unet,
+    vae_tiny,
+)
+from diffusion_pullback_tpu.ops import DiffusionSchedule
+from diffusion_pullback_tpu.utils.datasets import NoiseDataset
+from diffusion_pullback_tpu.utils.logging import JSONLLogger
+
+import dataclasses
+
+
+@pytest.fixture()
+def sd_driver(tmp_path):
+    ucfg = dataclasses.replace(sd_tiny_unet(8), cross_attention_dim=16)
+    tcfg = dataclasses.replace(clip_text_tiny(), hidden_size=16)
+    unet = UNet2DCondition(ucfg)
+    vae = AutoencoderKL(vae_tiny(16))
+    text = CLIPTextModel(tcfg)
+
+    z0 = jnp.zeros((1, 8, 8, 4))
+    ctx0 = jnp.zeros((1, tcfg.max_length, 16))
+    x0 = jnp.zeros((1, 16, 16, 3))
+    ids0 = jnp.zeros((1, tcfg.max_length), jnp.int32)
+
+    up = unet.init(jax.random.key(0), z0, jnp.float32(0.0), ctx0)
+    vp = vae.init(jax.random.key(1), x0)
+    tp = text.init(jax.random.key(2), ids0)
+
+    cfg = SDExperimentConfig(
+        dataset_name="noise",
+        for_steps=8,
+        inv_steps=8,
+        edit_t=0.6,
+        edit_prompt="a test prompt",
+        pca_rank=4,
+        pullback_min_iter=2,
+        pullback_max_iter=3,
+        x_space_guidance_num_step=3,
+        vis_num=2,
+        vis_num_pc=1,
+        result_folder=str(tmp_path / "runs"),
+        obs_folder=str(tmp_path / "obs"),
+        basis_folder=str(tmp_path / "inputs"),
+    )
+    return EditStableDiffusion(
+        unet, up, vae, vp, text, tp,
+        DiffusionSchedule.scaled_linear(), NoiseDataset(16, n=2), cfg,
+        logger=JSONLLogger(path=None, echo=False),
+    )
+
+
+def test_sd_end_to_end_edit(sd_driver):
+    names = sd_driver.run_edit_local_encoder_pullback_zt(idx=0)
+    assert len(names) == 2
+    for n in names:
+        assert os.path.exists(
+            os.path.join(sd_driver.cfg.result_folder, n + ".png")
+        ), n
+    # idempotent rerun
+    assert sd_driver.run_edit_local_encoder_pullback_zt(idx=0) == names
+
+
+def test_sd_forward_and_harvest(sd_driver, tmp_path):
+    x0 = sd_driver.run_DDIMforward(num_samples=2, save_as=str(tmp_path / "f.png"))
+    assert x0.shape == (2, 16, 16, 3)
+    p = sd_driver.run_sample_encoder_local_tangent_space_zt(
+        idx=1, pca_rank=2, h_t=0.8
+    )
+    assert os.path.exists(p)
+
+
+def test_sd_cfg_inversion(sd_driver):
+    """CFG on: inversion still runs (the reference crashes with CFG on —
+    SURVEY §3 landmine; here it is supported)."""
+    sd_driver.cfg.guidance_scale = 3.0
+    sd_driver._jit_cache.clear()
+    zT = sd_driver.run_DDIMinversion(idx=0)
+    assert zT.shape == (1, 8, 8, 4)
+    out = sd_driver.DDIMforwardsteps(zT, 0)
+    assert out.shape == zT.shape

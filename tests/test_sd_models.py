@@ -1,0 +1,137 @@
+"""SD stack structural tests: conditioned U-Net taps, VAE, CLIP text."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_pullback_tpu.models import (
+    AutoencoderKL,
+    CLIPTextModel,
+    HashTokenizer,
+    TapPoint,
+    UNet2DCondition,
+    clip_text_tiny,
+    sd_tiny_unet,
+    vae_tiny,
+)
+
+
+@pytest.fixture(scope="module")
+def sd_tiny():
+    cfg = sd_tiny_unet(8)
+    model = UNet2DCondition(cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8, 8, 4)), jnp.float32)
+    ctx = jnp.asarray(np.random.default_rng(1).normal(size=(1, 7, 16)), jnp.float32)
+    t = jnp.float32(321.0)
+    params = model.init(jax.random.key(0), x, t, ctx)
+    return model, params, x, t, ctx
+
+
+def test_cond_forward_shape(sd_tiny):
+    model, params, x, t, ctx = sd_tiny
+    eps = model.apply(params, x, t, ctx)
+    assert eps.shape == x.shape
+
+
+COND_TAPS = [TapPoint("down", 0), TapPoint("down", 1), TapPoint("mid", 0),
+             TapPoint("up", 0), TapPoint("up", 1)]
+
+
+@pytest.mark.parametrize("tap", COND_TAPS, ids=str)
+def test_cond_encode_decode_composes(sd_tiny, tap):
+    model, params, x, t, ctx = sd_tiny
+    full = model.apply(params, x, t, ctx)
+    h, state = model.apply(
+        params, x, t, ctx, tap, method=UNet2DCondition.encode_with_state
+    )
+    back = model.apply(
+        params, h, state, tap, method=UNet2DCondition.decode_with_state
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(back))
+
+
+def test_cond_probe_batch_broadcasts_context(sd_tiny):
+    model, params, x, t, ctx = sd_tiny
+    tap = TapPoint("mid", 0)
+    h, state = model.apply(
+        params, x, t, ctx, tap, method=UNet2DCondition.encode_with_state
+    )
+    h3 = jnp.concatenate([h, h, h], axis=0)
+    eps = model.apply(
+        params, h3, state, tap, method=UNet2DCondition.decode_with_state
+    )
+    assert eps.shape == (3, 8, 8, 4)
+    np.testing.assert_array_equal(np.asarray(eps[0]), np.asarray(eps[1]))
+
+
+def test_cond_encode_jvp(sd_tiny):
+    """The pullback requirement: linearize through the conditioned encoder."""
+    model, params, x, t, ctx = sd_tiny
+    tap = TapPoint("mid", 0)
+    f = lambda z: model.apply(params, z, t, ctx, tap,
+                              method=UNet2DCondition.encode)
+    h, jvp_fn = jax.linearize(f, x)
+    v = jnp.ones_like(x) / x.size
+    u = jvp_fn(v)
+    assert u.shape == h.shape
+    vjp_fn = jax.linear_transpose(jvp_fn, x)
+    (w,) = vjp_fn(u)
+    assert float(jnp.vdot(u, u)) == pytest.approx(float(jnp.vdot(w, v)), rel=1e-4)
+
+
+def test_cfg_batch_eval(sd_tiny):
+    """Classifier-free guidance pattern: 2-batch [uncond; cond] in one call."""
+    model, params, x, t, ctx = sd_tiny
+    ctx2 = jnp.concatenate([jnp.zeros_like(ctx), ctx], axis=0)
+    x2 = jnp.concatenate([x, x], axis=0)
+    eps = model.apply(params, x2, t, ctx2)
+    e_un, e_c = np.asarray(eps[0]), np.asarray(eps[1])
+    assert np.abs(e_un - e_c).max() > 1e-6  # conditioning actually matters
+
+
+def test_vae_round_trip_shapes():
+    cfg = vae_tiny(16)
+    vae = AutoencoderKL(cfg)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(1, 16, 16, 3)), jnp.float32)
+    params = vae.init(jax.random.key(0), x)
+    z = vae.apply(params, x, method=AutoencoderKL.encode)
+    assert z.shape == (1, 8, 8, 4)  # one downsample (2 blocks)
+    mean, logvar = vae.apply(params, x, method=AutoencoderKL.encode_moments)
+    assert mean.shape == z.shape and logvar.shape == z.shape
+    # encode with key is stochastic around the mean
+    z1 = vae.apply(params, x, jax.random.key(1), method=AutoencoderKL.encode)
+    z2 = vae.apply(params, x, jax.random.key(2), method=AutoencoderKL.encode)
+    assert float(jnp.abs(z1 - z2).max()) > 0
+    y = vae.apply(params, z, method=AutoencoderKL.decode)
+    assert y.shape == x.shape
+
+
+def test_clip_text_encoder():
+    cfg = clip_text_tiny()
+    model = CLIPTextModel(cfg)
+    tok = HashTokenizer(cfg.vocab_size, cfg.max_length)
+    ids = jnp.asarray(tok(["hello world", ""]))
+    assert ids.shape == (2, 8)
+    params = model.init(jax.random.key(0), ids)
+    out = model.apply(params, ids)
+    assert out.shape == (2, 8, 16)
+    # deterministic and prompt-sensitive
+    out2 = model.apply(params, jnp.asarray(tok(["hello world", ""])))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    out3 = model.apply(params, jnp.asarray(tok(["other prompt", ""])))
+    assert np.abs(np.asarray(out3[0]) - np.asarray(out[0])).max() > 1e-6
+
+
+def test_causal_mask():
+    """Token i's embedding must not depend on tokens after i."""
+    cfg = clip_text_tiny()
+    model = CLIPTextModel(cfg)
+    tok = HashTokenizer(cfg.vocab_size, cfg.max_length)
+    a = jnp.asarray(tok(["one two three"]))
+    b = a.at[0, 4].set(99)  # change a later token
+    params = model.init(jax.random.key(0), a)
+    ea = model.apply(params, a)
+    eb = model.apply(params, b)
+    np.testing.assert_array_equal(np.asarray(ea[0, :4]), np.asarray(eb[0, :4]))
+    assert np.abs(np.asarray(ea[0, 4:]) - np.asarray(eb[0, 4:])).max() > 0
