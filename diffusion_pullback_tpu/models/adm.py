@@ -1,0 +1,316 @@
+"""ADM U-Net (guided-diffusion / improved-diffusion family) with taps.
+
+TPU-native coverage of the reference's vendored OpenAI model stacks
+(/root/reference/src/models/guided_diffusion/unet.py UNetModel:398,
+improved_diffusion + improved_ddpm_old variants — each hand-extended there
+with get_h:686-702 and local_encoder_pullback_xt:704-781). Features beyond
+the DDPM family: FiLM scale-shift conditioning (`use_scale_shift_norm`,
+unet.py:250-255), learned-σ heads, class conditioning, multi-head QKV
+attention at selected resolutions, residual up/downsampling blocks.
+
+Tap semantics extend the reference's (mid-only on these nets) to level
+granularity: ('down', level) → after that level's final input block;
+('mid', 0); ('up', level). Flax submodule names mirror the torch checkpoint
+layout (input_blocks.N.M.in_layers.0 …) so models/convert.py loads ADM/P2
+checkpoints through the same generic mapping.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import attention
+from .configs import ADMConfig
+from .layers import timestep_embedding
+from .unet2d import TapPoint
+
+
+def _zeros_conv(features, kernel, dtype, precision, name, zero=True):
+    """ADM zero-module: output convs start at zero so blocks begin as
+    identities (checkpoint-parity init). ``zero=False`` (config.zero_init)
+    gives standard init for training-from-scratch / tests."""
+    if not zero:
+        return nn.Conv(features, kernel, padding=kernel[0] // 2, dtype=dtype,
+                       precision=precision, name=name)
+    return nn.Conv(
+        features, kernel, padding=kernel[0] // 2, dtype=dtype,
+        precision=precision, kernel_init=nn.initializers.zeros,
+        bias_init=nn.initializers.zeros, name=name,
+    )
+
+
+class ADMResBlock(nn.Module):
+    out_channels: int
+    use_scale_shift_norm: bool
+    dropout: float
+    updown: Optional[str] = None  # None | 'up' | 'down'
+    norm_num_groups: int = 32
+    dtype: Any = jnp.float32
+    precision: Any = None
+    zero_init: bool = True
+
+    @nn.compact
+    def __call__(self, x, emb, deterministic=True):
+        in_ch = x.shape[-1]
+        gn = lambda name: nn.GroupNorm(
+            num_groups=self.norm_num_groups, epsilon=1e-5, dtype=self.dtype,
+            name=name,
+        )
+        conv = lambda feat, name, zero=False: (
+            _zeros_conv(feat, (3, 3), self.dtype, self.precision, name,
+                        zero=self.zero_init)
+            if zero
+            else nn.Conv(feat, (3, 3), padding=1, dtype=self.dtype,
+                         precision=self.precision, name=name)
+        )
+
+        def resample(v):
+            b, hh, ww, c = v.shape
+            if self.updown == "up":
+                return jax.image.resize(v, (b, hh * 2, ww * 2, c), "nearest")
+            if self.updown == "down":
+                return nn.avg_pool(v, (2, 2), strides=(2, 2))
+            return v
+
+        h = nn.silu(gn("in_layers_0")(x))
+        if self.updown:
+            h = resample(h)
+            x = resample(x)
+        h = conv(self.out_channels, "in_layers_2")(h)
+
+        emb_out = nn.Dense(
+            2 * self.out_channels if self.use_scale_shift_norm
+            else self.out_channels,
+            dtype=self.dtype, precision=self.precision, name="emb_layers_1",
+        )(nn.silu(emb))
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
+            h = gn("out_layers_0")(h) * (1 + scale) + shift
+        else:
+            h = h + emb_out[:, None, None, :]
+            h = gn("out_layers_0")(h)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = conv(self.out_channels, "out_layers_3", zero=True)(h)
+
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        precision=self.precision, name="skip_connection")(x)
+        return x + h
+
+
+class ADMAttentionBlock(nn.Module):
+    num_heads: int
+    norm_num_groups: int = 32
+    dtype: Any = jnp.float32
+    precision: Any = None
+    attn_impl: str = "xla"
+    zero_init: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        b, hh, ww, c = x.shape
+        hd = c // self.num_heads
+        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5,
+                         dtype=self.dtype, name="norm")(x)
+        h = h.reshape(b, hh * ww, c)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, precision=self.precision,
+                       name="qkv")(h)
+        q, k, v = jnp.split(qkv.reshape(b, -1, self.num_heads, 3 * hd), 3, axis=-1)
+        out = attention(q, k, v, impl=self.attn_impl, precision=self.precision)
+        out = nn.Dense(
+            c, dtype=self.dtype, precision=self.precision,
+            kernel_init=(nn.initializers.zeros if self.zero_init
+                         else nn.initializers.lecun_normal()),
+            name="proj_out",
+        )(out.reshape(b, hh * ww, c))
+        return x + out.reshape(b, hh, ww, c)
+
+
+class ADMTapState(NamedTuple):
+    emb: jax.Array
+    skips: Tuple[jax.Array, ...]
+
+
+class UNetADM(nn.Module):
+    config: ADMConfig
+
+    def setup(self):
+        cfg = self.config
+        self._dtype = jnp.dtype(cfg.dtype)
+
+    def _heads(self, ch: int) -> int:
+        cfg = self.config
+        if cfg.num_head_channels > 0:
+            return max(1, ch // cfg.num_head_channels)
+        return cfg.num_heads
+
+    def _embed(self, t, y, batch):
+        cfg = self.config
+        t = jnp.asarray(t)
+        if t.ndim == 0:
+            t = jnp.broadcast_to(t[None], (batch,))
+        feat = timestep_embedding(t, cfg.model_channels,
+                                  flip_sin_to_cos=True,
+                                  downscale_freq_shift=0.0)
+        emb = nn.Dense(4 * cfg.model_channels, dtype=self._dtype,
+                       name="time_embed_0")(feat)
+        emb = nn.Dense(4 * cfg.model_channels, dtype=self._dtype,
+                       name="time_embed_2")(nn.silu(emb))
+        if cfg.num_classes:
+            if y is None:
+                raise ValueError("class-conditional model requires labels y")
+            emb = emb + nn.Embed(cfg.num_classes, 4 * cfg.model_channels,
+                                 dtype=self._dtype, name="label_emb")(y)
+        return emb
+
+    @nn.compact
+    def __call__(self, x, t, y=None, deterministic=True, tap=None, h_in=None,
+                 tap_state=None, mode="full"):
+        """mode: 'full' → ε[,σ]; 'encode' → (h, state); 'decode' → resume from
+        (h_in, tap_state). One compact method so all modes share parameters.
+        """
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        attn_at = set(cfg.attention_resolutions)
+        if tap is not None:
+            tap = TapPoint(*tap)
+
+        resblock = lambda ch, updown, name: ADMResBlock(
+            ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
+            dropout=cfg.dropout, updown=updown,
+            norm_num_groups=cfg.norm_num_groups, dtype=dtype,
+            precision=cfg.precision, zero_init=cfg.zero_init, name=name,
+        )
+        attnblock = lambda ch, name: ADMAttentionBlock(
+            self._heads(ch), norm_num_groups=cfg.norm_num_groups,
+            dtype=dtype, precision=cfg.precision, attn_impl=cfg.attn_impl,
+            zero_init=cfg.zero_init, name=name,
+        )
+
+        decoding = mode == "decode"
+        if decoding:
+            emb, skips = ADMTapState(*tap_state).emb, list(ADMTapState(*tap_state).skips)
+            batch = h_in.shape[0]
+            if emb.shape[0] == 1 and batch > 1:
+                emb = jnp.broadcast_to(emb, (batch,) + emb.shape[1:])
+                skips = [jnp.broadcast_to(s, (batch,) + s.shape[1:]) for s in skips]
+            h = h_in
+        else:
+            emb = self._embed(t, y, x.shape[0])
+            skips = []
+            h = None
+
+        n_levels = len(cfg.channel_mult)
+        blk = 0  # running torch-style input_blocks index
+
+        # ---- input (down) path -------------------------------------------
+        ds = 1
+        if not decoding or (tap.op == "down"):
+            run_down = not decoding
+            if not run_down:
+                # decode from a 'down' tap: skip levels <= tap.block_idx
+                pass
+            if not decoding:
+                h = nn.Conv(cfg.model_channels, (3, 3), padding=1, dtype=dtype,
+                            precision=cfg.precision, name="input_blocks_0_0")(x)
+                skips.append(h)
+            blk = 1
+            for level, mult in enumerate(cfg.channel_mult):
+                ch = cfg.model_channels * mult
+                skip_level = decoding and level <= tap.block_idx
+                for i in range(cfg.num_res_blocks):
+                    if not skip_level:
+                        h = resblock(ch, None, f"input_blocks_{blk}_0")(
+                            h, emb, deterministic)
+                        if ds in attn_at:
+                            h = attnblock(ch, f"input_blocks_{blk}_1")(h)
+                        skips.append(h)
+                    blk += 1
+                if level != n_levels - 1:
+                    if not skip_level:
+                        if cfg.resblock_updown:
+                            h = resblock(ch, "down", f"input_blocks_{blk}_0")(
+                                h, emb, deterministic)
+                        else:
+                            h = nn.Conv(ch, (3, 3), (2, 2), padding=1,
+                                        dtype=dtype, precision=cfg.precision,
+                                        name=f"input_blocks_{blk}_0")(h)
+                        skips.append(h)
+                    blk += 1
+                    ds *= 2
+                if not decoding and tap is not None and mode == "encode" \
+                        and tap.op == "down" and tap.block_idx == level:
+                    # tapped activation is the last skip; drop it (decode
+                    # re-inserts h), mirroring UNet2D semantics
+                    return h, ADMTapState(emb, tuple(skips[:-1]))
+                if decoding and tap.op == "down" and tap.block_idx == level:
+                    skips.append(h)  # h_in re-inserted as its own skip
+
+        # ---- middle -------------------------------------------------------
+        mid_ch = cfg.model_channels * cfg.channel_mult[-1]
+        run_mid = (not decoding) or tap.op == "down"
+        if run_mid:
+            h = resblock(mid_ch, None, "middle_block_0")(h, emb, deterministic)
+            h = attnblock(mid_ch, "middle_block_1")(h)
+            h = resblock(mid_ch, None, "middle_block_2")(h, emb, deterministic)
+            if mode == "encode" and tap.op == "mid":
+                return h, ADMTapState(emb, tuple(skips))
+
+        # ---- output (up) path --------------------------------------------
+        blk = 0
+        ds = 2 ** (n_levels - 1)
+        for level, mult in enumerate(reversed(cfg.channel_mult)):
+            ch = cfg.model_channels * mult
+            skip_up = decoding and tap.op == "up" and level <= tap.block_idx
+            for i in range(cfg.num_res_blocks + 1):
+                if not skip_up:
+                    s = skips.pop()
+                    h = jnp.concatenate([h, s], axis=-1)
+                    h = resblock(ch, None, f"output_blocks_{blk}_0")(
+                        h, emb, deterministic)
+                    sub = 1
+                    if ds in attn_at:
+                        h = attnblock(ch, f"output_blocks_{blk}_{sub}")(h)
+                        sub += 1
+                    if level != n_levels - 1 and i == cfg.num_res_blocks:
+                        if cfg.resblock_updown:
+                            h = resblock(ch, "up", f"output_blocks_{blk}_{sub}")(
+                                h, emb, deterministic)
+                        else:
+                            b_, hh, ww, c_ = h.shape
+                            h = jax.image.resize(h, (b_, hh * 2, ww * 2, c_),
+                                                 "nearest")
+                            h = nn.Conv(ch, (3, 3), padding=1, dtype=dtype,
+                                        precision=cfg.precision,
+                                        name=f"output_blocks_{blk}_{sub}")(h)
+                # levels skipped during decode-from-'up' consumed their
+                # skips in the encode pass; nothing to pop here
+                blk += 1
+            if level != n_levels - 1:
+                ds //= 2
+            if mode == "encode" and tap.op == "up" and tap.block_idx == level:
+                return h, ADMTapState(emb, tuple(skips))
+
+        out_ch = cfg.out_channels * (2 if cfg.learn_sigma else 1)
+        h = nn.silu(nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
+                                 dtype=dtype, name="out_0")(h))
+        return _zeros_conv(out_ch, (3, 3), dtype, cfg.precision, "out_2",
+                           zero=cfg.zero_init)(h)
+
+    # convenience wrappers matching the UNet2D method surface
+    def encode(self, x, t, tap, y=None, deterministic=True):
+        return self.__call__(x, t, y=y, deterministic=deterministic, tap=tap,
+                             mode="encode")[0]
+
+    def encode_with_state(self, x, t, tap, y=None, deterministic=True):
+        return self.__call__(x, t, y=y, deterministic=deterministic, tap=tap,
+                             mode="encode")
+
+    def decode_with_state(self, h, state, tap, deterministic=True):
+        return self.__call__(None, None, deterministic=deterministic, tap=tap,
+                             h_in=h, tap_state=state, mode="decode")

@@ -208,3 +208,70 @@ def clip_text_tiny() -> CLIPTextConfig:
         vocab_size=128, hidden_size=16, intermediate_size=32,
         num_layers=2, num_heads=2, max_length=8,
     )
+
+
+@dataclasses.dataclass(frozen=True)
+class ADMConfig:
+    """ADM / guided-diffusion U-Net (reference src/models/guided_diffusion).
+
+    Factory presets mirror the per-dataset dicts of the reference's g_DDPM
+    factory (src/models/guided_diffusion/script_util.py:96-257).
+    """
+
+    image_size: int = 256
+    in_channels: int = 3
+    out_channels: int = 3
+    model_channels: int = 256
+    num_res_blocks: int = 2
+    channel_mult: Tuple[int, ...] = (1, 1, 2, 2, 4, 4)
+    attention_resolutions: Tuple[int, ...] = (32, 16, 8)
+    num_heads: int = 4
+    num_head_channels: int = 64
+    use_scale_shift_norm: bool = True
+    resblock_updown: bool = True
+    learn_sigma: bool = True
+    num_classes: Optional[int] = None
+    dropout: float = 0.0
+    norm_num_groups: int = 32
+    zero_init: bool = True  # ADM zero-modules (checkpoint parity)
+    dtype: str = "float32"
+    precision: Optional[str] = None
+    attn_impl: str = "xla"
+
+
+def adm_imagenet256_uncond() -> ADMConfig:
+    return ADMConfig()
+
+
+def adm_imagenet256_cond() -> ADMConfig:
+    return ADMConfig(num_classes=1000)
+
+
+def adm_lsun_256() -> ADMConfig:
+    """LSUN bedroom/cat/horse P2-style 256px configs."""
+    return ADMConfig(model_channels=128, num_head_channels=-1, num_heads=4,
+                     attention_resolutions=(16,), resblock_updown=False,
+                     use_scale_shift_norm=False)
+
+
+def adm_ffhq_p2() -> ADMConfig:
+    """P2-weighting FFHQ/AFHQ/Flower 256px checkpoints (reference
+    FFHQ_P2/AFHQ_P2/Flower_P2 names)."""
+    return ADMConfig(model_channels=128, channel_mult=(1, 1, 2, 2, 4, 4),
+                     attention_resolutions=(16,), num_heads=4,
+                     num_head_channels=-1, resblock_updown=False,
+                     use_scale_shift_norm=True)
+
+
+def adm_cifar10() -> ADMConfig:
+    return ADMConfig(image_size=32, model_channels=128,
+                     channel_mult=(1, 2, 2, 2), attention_resolutions=(16, 8),
+                     num_head_channels=64)
+
+
+def adm_tiny(image_size: int = 16) -> ADMConfig:
+    return ADMConfig(
+        image_size=image_size, model_channels=8, num_res_blocks=1,
+        channel_mult=(1, 2), attention_resolutions=(2,), num_heads=2,
+        num_head_channels=-1, norm_num_groups=4, learn_sigma=True,
+    )

@@ -77,24 +77,37 @@ def _is_norm_path(path: Tuple[str, ...]) -> bool:
 
 
 def convert_torch_state_dict(
-    state_dict: Dict[str, Any], template_params: Dict[str, Any]
+    state_dict: Dict[str, Any],
+    template_params: Dict[str, Any],
+    strip_prefixes: Tuple[str, ...] = ("text_model.", "embeddings.", "encoder.", "module."),
 ) -> Dict[str, Any]:
     """Convert a torch state dict into the Flax param pytree shaped like
     ``template_params`` (from model.init). Raises on missing/shape-mismatched
-    leaves so silent partial loads are impossible."""
+    leaves so silent partial loads are impossible.
+
+    ``strip_prefixes`` removes HF wrapper scopes (e.g. CLIP's
+    text_model.embeddings.* / text_model.encoder.layers.*) anywhere in the
+    name so Flax trees can stay flat."""
     flat_out: Dict[Tuple[str, ...], np.ndarray] = {}
 
     for name, tensor in state_dict.items():
         arr = np.asarray(
             tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor
         )
+        for pre in strip_prefixes:
+            name = name.replace(pre, "")
         path, leaf = _torch_name_to_flax_path(name)
         if leaf in ("num_batches_tracked", "position_ids"):
             continue  # torch buffers with no Flax counterpart
         # downsamplers_0 / upsamplers_0 keep an inner 'conv' module
         if path and path[-1] in ("downsamplers_0", "upsamplers_0"):
             path = path + ("conv",)
-        if _is_norm_path(path):
+        if path and path[-1].endswith("_embedding") and leaf == "weight":
+            # nn.Embed tables keep (vocab, dim) orientation
+            flat_out[path + ("embedding",)] = arr
+        elif _is_norm_path(path) or (leaf == "weight" and arr.ndim == 1):
+            # explicit *norm* names OR any 1-D weight (ADM's in_layers_0 /
+            # out_layers_0 GroupNorms carry no 'norm' in their name)
             flax_leaf = "scale" if leaf == "weight" else "bias"
             flat_out[path + (flax_leaf,)] = arr
         elif leaf == "weight":
@@ -171,7 +184,9 @@ def flax_params_to_torch_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndar
                 name_parts.append(p)
         name_parts = ["time_embedding" if p == "time_mlp" else p for p in name_parts]
         base = ".".join(name_parts)
-        if leaf == "scale":
+        if leaf == "embedding":
+            out[base + ".weight"] = arr
+        elif leaf == "scale":
             out[base + ".weight"] = arr
         elif leaf == "bias":
             out[base + ".bias"] = arr

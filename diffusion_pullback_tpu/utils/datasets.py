@@ -91,3 +91,109 @@ def get_dataset(
         f"dataset {dataset_name!r} not found (searched {candidates}); "
         "use dataset_name='noise' for offline runs or pass data_root"
     )
+
+
+class HFDataset:
+    """Local HuggingFace `datasets` folder (e.g. flowers-102) — reference
+    HFDataset (utils.py:1371-1438). Zero-egress: only `load_from_disk`
+    paths are supported; missing data raises a clear error."""
+
+    def __init__(self, path: str, image_size: int, image_key: str = "image"):
+        try:
+            import datasets as hfds
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError("the `datasets` package is required") from e
+        self.ds = hfds.load_from_disk(path)
+        if hasattr(self.ds, "keys"):  # DatasetDict → first split
+            self.ds = self.ds[list(self.ds.keys())[0]]
+        self.image_size = image_size
+        self.image_key = image_key
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        from .native import crop_resize_normalize
+
+        img = self.ds[int(idx)][self.image_key]
+        arr = np.asarray(img.convert("RGB"), np.uint8)
+        out = crop_resize_normalize(arr, self.image_size)
+        if out is None:
+            import tempfile
+
+            from .images import load_image
+
+            with tempfile.NamedTemporaryFile(suffix=".png") as f:
+                img.convert("RGB").save(f.name)
+                return load_image(f.name, self.image_size)
+        return out[None]
+
+
+class LSUNDataset:
+    """LSUN lmdb reader (reference LSUN/LSUNClass, utils.py:1576-1774),
+    gated on the optional `lmdb` package."""
+
+    def __init__(self, root: str, image_size: int):
+        try:
+            import lmdb  # noqa: F401
+        except ImportError as e:
+            raise RuntimeError(
+                "LSUN datasets need the `lmdb` package (not in this image); "
+                "export the images to a folder and use ImgDataset instead"
+            ) from e
+        import io
+
+        import lmdb
+        from PIL import Image as PILImage
+
+        self._Image = PILImage
+        self._io = io
+        self.env = lmdb.open(root, max_readers=1, readonly=True, lock=False,
+                             readahead=False, meminit=False)
+        with self.env.begin(write=False) as txn:
+            self.length = txn.stat()["entries"]
+            self.keys = [k for k, _ in txn.cursor()]
+        self.image_size = image_size
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        from .native import crop_resize_normalize
+
+        with self.env.begin(write=False) as txn:
+            buf = txn.get(self.keys[idx])
+        img = self._Image.open(self._io.BytesIO(buf)).convert("RGB")
+        out = crop_resize_normalize(np.asarray(img, np.uint8), self.image_size)
+        if out is not None:
+            return out[None]
+        arr = np.asarray(img, np.float32) / 255.0 * 2 - 1
+        return arr[None]
+
+
+# built-in caption bank: offline stand-in for the reference's MS-COCO caption
+# loader (utils.py:1779-1822 — broken as shipped: PROMPT_PATHS import is
+# commented out). Real caption files plug in via the path argument.
+_BUILTIN_CAPTIONS = [
+    "a photo of a dog", "a photo of a cat", "a person smiling",
+    "a red car on the street", "a mountain landscape at sunset",
+    "a bowl of fruit on a table", "a city skyline at night",
+    "a bird sitting on a branch", "a plate of pasta", "a child playing",
+]
+
+
+def get_prompt_list(num_captions: int = 10, path: Optional[str] = None):
+    """Reference get_ms_coco_prompt_list surface: first `num_captions`
+    prompts from a local captions file (one per line / json list) or the
+    built-in bank."""
+    if path and os.path.exists(path):
+        import json
+
+        with open(path) as f:
+            if path.endswith(".json"):
+                caps = json.load(f)
+            else:
+                caps = [l.strip() for l in f if l.strip()]
+        return caps[:num_captions]
+    reps = (num_captions + len(_BUILTIN_CAPTIONS) - 1) // len(_BUILTIN_CAPTIONS)
+    return (_BUILTIN_CAPTIONS * reps)[:num_captions]

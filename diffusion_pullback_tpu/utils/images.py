@@ -21,15 +21,24 @@ except ImportError:  # pragma: no cover
 
 
 def load_image(path: str, image_size: int) -> np.ndarray:
-    """Center-crop to square, resize, normalize to [-1, 1]. → (1, S, S, 3)."""
+    """Center-crop to square, resize (bilinear), normalize to [-1, 1].
+    → (1, S, S, 3). Pixel math runs in the native C++ library when built
+    (native/imageproc.cpp via utils.native); PIL otherwise."""
     if Image is None:
         raise RuntimeError("PIL is required for image loading")
     img = Image.open(path).convert("RGB")
+
+    from . import native
+
+    arr = native.crop_resize_normalize(np.asarray(img, np.uint8), image_size)
+    if arr is not None:
+        return arr[None]
+
     w, h = img.size
     side = min(w, h)
     left, top = (w - side) // 2, (h - side) // 2
     img = img.crop((left, top, left + side, top + side))
-    img = img.resize((image_size, image_size), Image.BICUBIC)
+    img = img.resize((image_size, image_size), Image.BILINEAR)
     arr = np.asarray(img, dtype=np.float32) / 255.0
     return (arr * 2.0 - 1.0)[None]
 
@@ -47,13 +56,22 @@ def save_image_grid(
     """Save an NHWC batch as a single grid PNG (tvu.save_image equivalent)."""
     if Image is None:
         raise RuntimeError("PIL is required for image saving")
-    arr = to_uint8(batch) if normalize else np.asarray(batch, np.uint8)
-    n, h, w, c = arr.shape
+    n = batch.shape[0]
     nrow = n if nrow is None else max(1, nrow)
-    ncol = math.ceil(n / nrow)
-    grid = np.zeros((ncol * h, nrow * w, c), np.uint8)
-    for i in range(n):
-        r, col = divmod(i, nrow)
-        grid[r * h : (r + 1) * h, col * w : (col + 1) * w] = arr[i]
+    if normalize:
+        from . import native
+
+        grid = native.batch_to_grid(np.asarray(batch, np.float32), nrow)
+    else:
+        grid = None
+    if grid is None:
+        arr = to_uint8(batch) if normalize else np.asarray(batch, np.uint8)
+        _, h, w, c = arr.shape
+        ncol = math.ceil(n / nrow)
+        grid = np.zeros((ncol * h, nrow * w, c), np.uint8)
+        for i in range(n):
+            r, col = divmod(i, nrow)
+            grid[r * h : (r + 1) * h, col * w : (col + 1) * w] = arr[i]
+    c = grid.shape[-1]
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     Image.fromarray(grid.squeeze() if c == 1 else grid).save(path)

@@ -1,0 +1,101 @@
+"""ctypes bindings for the native image-preprocessing library.
+
+Builds native/libdpximg.so on first use if the toolchain is available
+(g++ is baked into the image); every consumer degrades to the pure-Python
+path when the library can't be built/loaded, so the framework stays fully
+functional without native code.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_SO_PATH = os.path.join(_NATIVE_DIR, "libdpximg.so")
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s", "-C", _NATIVE_DIR],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_SO_PATH)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.dpx_crop_resize_normalize.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int,
+        ]
+        lib.dpx_batch_to_grid_u8.argtypes = [
+            f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, u8p,
+        ]
+        lib.dpx_version.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def crop_resize_normalize(img_u8: np.ndarray, out_size: int) -> Optional[np.ndarray]:
+    """uint8 HWC → f32 (out,out,C) in [-1,1] via the native lib; None if
+    unavailable (caller falls back to PIL)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    img_u8 = np.ascontiguousarray(img_u8, np.uint8)
+    h, w, c = img_u8.shape
+    out = np.empty((out_size, out_size, c), np.float32)
+    lib.dpx_crop_resize_normalize(
+        img_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, c,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_size,
+    )
+    return out
+
+
+def batch_to_grid(batch_f32: np.ndarray, nrow: int) -> Optional[np.ndarray]:
+    """[-1,1] NHWC f32 → uint8 grid; None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    batch_f32 = np.ascontiguousarray(batch_f32, np.float32)
+    n, h, w, c = batch_f32.shape
+    ncol = (n + nrow - 1) // nrow
+    grid = np.empty((ncol * h, nrow * w, c), np.uint8)
+    lib.dpx_batch_to_grid_u8(
+        batch_f32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, h, w, c, nrow,
+        grid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return grid
