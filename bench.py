@@ -52,6 +52,16 @@ def main():
     ddim_sec = time.perf_counter() - t0
     ddim_steps_per_sec = grid100.num_steps / ddim_sec
 
+    # --- 1b. DDIM steps/sec with the bf16 sampling path --------------------
+    cfg_bf16 = dataclasses.replace(cfg, dtype="bfloat16")
+    model_bf16 = UNet2D(cfg_bf16)
+    eps_bf16 = lambda p: (lambda z, t: model_bf16.apply(p, z, t).astype(jnp.float32))
+    fwd16 = jax.jit(lambda p, z: ddim_forward(eps_bf16(p), z, sched, grid100))
+    fwd16(params, x).block_until_ready()
+    t0 = time.perf_counter()
+    fwd16(params, x).block_until_ready()
+    ddim_bf16_steps_per_sec = grid100.num_steps / (time.perf_counter() - t0)
+
     # --- 2. pullback: top-1 PC via 5 power iterations (r=8 probes) ---------
     RANK, ITERS = 8, 5
     pull = jax.jit(
@@ -98,6 +108,7 @@ def main():
                 "vs_baseline": round(NORTH_STAR_SECONDS / e2e, 3),
                 "device": str(dev),
                 "ddim_steps_per_sec": round(ddim_steps_per_sec, 2),
+                "ddim_steps_per_sec_bf16": round(ddim_bf16_steps_per_sec, 2),
                 "jvp_evals_per_sec": round(jvp_evals_per_sec, 2),
                 "pullback_sec": round(pull_sec, 4),
                 "edit_sec": round(edit_sec, 4),

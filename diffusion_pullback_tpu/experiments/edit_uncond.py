@@ -243,20 +243,28 @@ class EditUncondDiffusion:
                     f"Edit_xt-{cfg.dataset_name}_{idx}-edit_{cfg.edit_t}T-{op}"
                     f"-block_{block_idx}-pc_{pc:03d}_{tag}"
                 )
+        return self._edit_along_directions(xt, vks, names, vis_num)
+
+    def _edit_along_directions(self, xt, vks, names, vis_num):
+        """Shared tail of every editing experiment: vmapped x-space-guidance
+        walks over the direction batch, boosted finish sampling, PNG grids
+        with skip-if-exists idempotency."""
+        cfg = self.cfg
+        t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
         todo = [i for i, n in enumerate(names) if not os.path.exists(
             os.path.join(cfg.result_folder, n + ".png"))]
         if not todo:
-            self.log.log("all_edits_cached", idx=idx)
+            self.log.log("all_edits_cached")
             return names
         vk_batch = jnp.stack([vks[i] for i in todo])  # (D, H, W, C)
 
         stride = max(1, (cfg.x_space_guidance_num_step + 1) // vis_num)
         boost = self.boost_start_idx if cfg.use_performance_boosting else None
 
-        def edit_one(p, vk, key):
+        def edit_one(p, z_start, vk, key):
             eps = self._eps_with(p)
             traj = x_space_guidance_scan(
-                eps, xt, t_edit, vk[None],
+                eps, z_start, t_edit, vk[None],
                 num_steps=cfg.x_space_guidance_num_step,
                 edit_step=cfg.x_space_guidance_edit_step,
                 scale=cfg.x_space_guidance_scale,
@@ -271,13 +279,13 @@ class EditUncondDiffusion:
 
         run_all = self._jitted(
             f"edit_batch_{len(todo)}_{stride}",
-            lambda p, vs, keys: jax.vmap(
-                lambda vk, k: edit_one(p, vk, k)
+            lambda p, z_start, vs, keys: jax.vmap(
+                lambda vk, k: edit_one(p, z_start, vk, k)
             )(vs, keys),
         )
         keys = jax.random.split(jax.random.key(cfg.seed + 1), len(todo))
         t0 = time.perf_counter()
-        imgs = run_all(self.params, vk_batch, keys)
+        imgs = run_all(self.params, xt, vk_batch, keys)
         imgs.block_until_ready()
         self.log.log(
             "x_space_guidance_edit",
@@ -292,7 +300,341 @@ class EditUncondDiffusion:
             )
         return names
 
+    # ---- secondary geometry experiments ----------------------------------
+
+    def run_edit_parallel_transport(
+        self,
+        sample_idx_0: int,
+        sample_idx_1: int,
+        op: str = "mid",
+        block_idx: int = 0,
+        pca_rank: int = 50,
+        vis_num: int = 4,
+        vis_num_pc: int = 2,
+    ):
+        """Transport directions discovered at sample 0 to sample 1 and edit
+        sample 1 along them — working spec of the reference's
+        run_edit_parallel_transport (edit.py:781-948; crashes as shipped on
+        unset attrs — SURVEY §3): v_k^(1) = v₁ᵀᵀ(u₁ᵀu₀[:,k])."""
+        from ..geometry.transport import transport_all
+
+        cfg = self.cfg
+        tap = TapPoint(op, block_idx)
+        bases = {}
+        xts = {}
+        for idx in (sample_idx_0, sample_idx_1):
+            xT = self.run_ddim_inversion(idx)
+            xt = self.forward_to_edit_t(xT)
+            xts[idx] = xt
+            name = basis_name(cfg.dataset_name, idx, cfg.edit_t, op,
+                              block_idx, cfg.seed)
+            cached = self.cache.load(name)
+            if cached is None:
+                res = self.compute_local_basis(
+                    xt, self.fwd_grid.timesteps[self.edit_t_idx], tap, pca_rank
+                )
+                self.cache.save(name, res.u, res.s, res.vT)
+                bases[idx] = (res.u, res.s, res.vT)
+            else:
+                bases[idx] = tuple(map(jnp.asarray, cached))
+
+        u0 = bases[sample_idx_0][0]
+        u1, _, vT1 = bases[sample_idx_1]
+        u0 = u0 / jnp.linalg.norm(u0, axis=0, keepdims=True)
+        u1 = u1 / jnp.linalg.norm(u1, axis=0, keepdims=True)
+        vT1 = vT1 / jnp.linalg.norm(vT1, axis=1, keepdims=True)
+        vt_trans = transport_all(u0, u1, vT1)       # (r, dim_x)
+
+        shape = xts[sample_idx_1].shape[1:]
+        vks, names = [], []
+        for pc in range(vis_num_pc):
+            for sign, tag in ((1.0, "pos"), (-1.0, "neg")):
+                vks.append(sign * vt_trans[pc].reshape(shape))
+                names.append(
+                    f"Edit_transport-{cfg.dataset_name}_{sample_idx_0}to"
+                    f"{sample_idx_1}-edit_{cfg.edit_t}T-{op}-block_{block_idx}"
+                    f"-pc_{pc:03d}_{tag}"
+                )
+        return self._edit_along_directions(
+            xts[sample_idx_1], vks, names, vis_num
+        )
+
+    def run_edit_local_pca_xt(
+        self,
+        idx: int,
+        op: str = "mid",
+        block_idx: int = 0,
+        pca_rank: int = 8,
+        num_samples: int = 1024,
+        sigma: float = 0.1,
+        vis_num: int = 4,
+        vis_num_pc: int = 2,
+    ):
+        """Edit along local-PCA h-directions mapped to x via Jᵀ — the
+        reference's local_pca + inverse-Jacobian flow (utils.py:900-975,
+        diffusion.py:379-436) as a streaming sketch."""
+        from ..geometry.pca import local_pca, pca_to_x_direction
+
+        cfg = self.cfg
+        tap = TapPoint(op, block_idx)
+        xT = self.run_ddim_inversion(idx)
+        xt = self.forward_to_edit_t(xT)
+        t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
+
+        run = self._jitted(
+            f"local_pca_{tap}_{pca_rank}_{num_samples}",
+            lambda p, z, tt, k: local_pca(
+                lambda zz: self.model.apply(p, zz, tt, tap, method=UNet2D.encode),
+                z, k, rank=pca_rank, num_samples=num_samples,
+                chunk=min(32, num_samples), sigma=sigma,
+            ),
+        )
+        t0 = time.perf_counter()
+        pca = run(self.params, xt, t_edit, jax.random.key(cfg.seed))
+        jax.block_until_ready(pca)
+        self.log.log("local_pca", seconds=time.perf_counter() - t0,
+                     top_var=np.asarray(pca.variances[:3]).round(5))
+
+        to_x = self._jitted(
+            f"pca_to_x_{tap}",
+            lambda p, z, tt, comp: pca_to_x_direction(
+                lambda zz: self.model.apply(p, zz, tt, tap, method=UNet2D.encode),
+                z, comp,
+            ),
+        )
+        shape = xt.shape[1:]
+        vks, names = [], []
+        for pc in range(vis_num_pc):
+            v = to_x(self.params, xt, t_edit, pca.components[pc])
+            for sign, tag in ((1.0, "pos"), (-1.0, "neg")):
+                vks.append(sign * v.reshape(shape))
+                names.append(
+                    f"Edit_local_pca-{cfg.dataset_name}_{idx}-edit_{cfg.edit_t}T"
+                    f"-{op}-block_{block_idx}-pc_{pc:03d}_{tag}"
+                )
+        return self._edit_along_directions(xt, vks, names, vis_num)
+
+    def compute_local_decoder_basis(
+        self, xt, t, tap: TapPoint, pca_rank: int = 50, x0_pullback: bool = False
+    ):
+        """Decoder pullback: top-k triplets of ∂ε/∂h (or of the Tweedie map
+        ∂x̂₀/∂h with ``x0_pullback``) at the tapped feature — reference
+        local_decoder_pullback_zt (utils.py:818-898) and
+        local_x0_decoder_pullback_xt (diffusion.py:634-707)."""
+        from ..ops.ddim import predict_x0
+        from ..ops.schedule import alpha_bar
+
+        run = self._jitted(
+            f"dec_pullback_{tap}_{pca_rank}_{x0_pullback}",
+            lambda p, z, tt, k: self._decoder_pullback_impl(
+                p, z, tt, tap, pca_rank, x0_pullback, k
+            ),
+        )
+        res = run(self.params, xt, t, jax.random.key(self.cfg.seed))
+        jax.block_until_ready(res)
+        return res
+
+    def _decoder_pullback_impl(self, p, xt, t, tap, pca_rank, x0_pullback, key):
+        from ..ops.ddim import predict_x0
+        from ..ops.schedule import alpha_bar
+
+        h, state = self.model.apply(
+            p, xt, t, tap, method=UNet2D.encode_with_state
+        )
+
+        def decode_fn(hh):
+            eps = self.model.apply(
+                p, hh, state, tap, method=UNet2D.decode_with_state
+            )
+            if x0_pullback:
+                return predict_x0(eps, xt, alpha_bar(self.schedule, t))
+            return eps
+
+        return local_pullback(
+            decode_fn, h, key, pca_rank=pca_rank,
+            min_iter=self.cfg.pullback_min_iter,
+            max_iter=self.cfg.pullback_max_iter,
+            atol=self.cfg.pullback_atol,
+        )
+
+    def _harvest_bases(self, sample_indices, op, block_idx, pca_rank):
+        """Pullback bases (cached) for a set of samples at edit_t."""
+        cfg = self.cfg
+        tap = TapPoint(op, block_idx)
+        out = {}
+        for idx in sample_indices:
+            name = basis_name(cfg.dataset_name, idx, cfg.edit_t, op,
+                              block_idx, cfg.seed)
+            cached = self.cache.load(name)
+            if cached is None:
+                xT = self.run_ddim_inversion(idx)
+                xt = self.forward_to_edit_t(xT)
+                res = self.compute_local_basis(
+                    xt, self.fwd_grid.timesteps[self.edit_t_idx], tap, pca_rank
+                )
+                self.cache.save(name, res.u, res.s, res.vT)
+                out[idx] = (res.u, res.s, res.vT)
+            else:
+                out[idx] = tuple(map(jnp.asarray, cached))
+        return out
+
+    def _edit_with_global_h_basis(self, idx, u_mean, op, block_idx,
+                                  vis_num, vis_num_pc, tag):
+        """Map global h-directions to x at the target sample via Jᵀ and run
+        the guidance edit."""
+        from ..geometry.pullback import pullback_covector
+
+        cfg = self.cfg
+        tap = TapPoint(op, block_idx)
+        xT = self.run_ddim_inversion(idx)
+        xt = self.forward_to_edit_t(xT)
+        t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
+        h_shape = jax.eval_shape(
+            lambda z: self.model.apply(self.params, z, t_edit, tap,
+                                       method=UNet2D.encode), xt
+        ).shape
+
+        inv = self._jitted(
+            f"inv_jac_{tap}",
+            lambda p, z, tt, u: pullback_covector(
+                lambda zz: self.model.apply(p, zz, tt, tap,
+                                            method=UNet2D.encode),
+                z, u,
+            ),
+        )
+        shape = xt.shape[1:]
+        vks, names = [], []
+        for pc in range(vis_num_pc):
+            v = inv(self.params, xt, t_edit,
+                    u_mean[:, pc].reshape(h_shape))
+            v = v / jnp.linalg.norm(v)
+            for sign, stag in ((1.0, "pos"), (-1.0, "neg")):
+                vks.append(sign * v.reshape(shape))
+                names.append(
+                    f"Edit_{tag}-{cfg.dataset_name}_{idx}-edit_{cfg.edit_t}T"
+                    f"-{op}-block_{block_idx}-pc_{pc:03d}_{stag}"
+                )
+        return self._edit_along_directions(xt, vks, names, vis_num)
+
+    def run_edit_global_frechet_mean_xt(
+        self, idx, basis_indices, op="mid", block_idx=0, pca_rank=10,
+        vis_num=4, vis_num_pc=2,
+    ):
+        """Frechet (Grassmannian) mean of h-space bases across samples, then
+        edit ``idx`` along the global directions (working spec of
+        edit.py:950-1245)."""
+        from ..geometry.mean import frechet_mean_basis
+
+        bases = self._harvest_bases(basis_indices, op, block_idx, pca_rank)
+        us = [u / jnp.linalg.norm(u, axis=0, keepdims=True)
+              for (u, _, _) in bases.values()]
+        u_mean = frechet_mean_basis(us, rank=vis_num_pc)
+        return self._edit_with_global_h_basis(
+            idx, u_mean, op, block_idx, vis_num, vis_num_pc, "global_frechet"
+        )
+
+    def run_edit_global_hungarian_mean_xt(
+        self, idx, basis_indices, op="mid", block_idx=0, pca_rank=10,
+        vis_num=4, vis_num_pc=2,
+    ):
+        """Hungarian-matched mean basis (column identity preserved) — working
+        spec of edit.py:1248-1463."""
+        from ..geometry.mean import hungarian_mean_basis
+
+        bases = self._harvest_bases(basis_indices, op, block_idx, pca_rank)
+        us = [u / jnp.linalg.norm(u, axis=0, keepdims=True)
+              for (u, _, _) in bases.values()]
+        u_mean = hungarian_mean_basis(us, rank=vis_num_pc)
+        return self._edit_with_global_h_basis(
+            idx, u_mean, op, block_idx, vis_num, vis_num_pc, "global_hungarian"
+        )
+
     # ---- tangent-space harvesting ----------------------------------------
+
+    def run_sample_encoder_local_tangent_space_xt_batched(
+        self,
+        idx: int,
+        op: str = "mid",
+        block_idx: int = 0,
+        pca_rank: int = 50,
+        t_grid: Optional[Tuple[float, ...]] = None,
+        sequential: bool = True,
+    ):
+        """The throughput version of basis harvesting: ONE jitted program
+        computes the whole timestep sweep — the forward trajectory is
+        collected by the scan itself and the power iteration maps over the
+        (timestep) axis (lax.map when ``sequential``, else vmap). This is the
+        TPU-native replacement for the reference's outer Python sweep
+        (main.py:78-91 × edit.py:1516-1599), where every t re-ran its own
+        inversion + partial forward + chunked pullback."""
+        from ..samplers.ddim_loop import ddim_scan
+
+        cfg = self.cfg
+        tap = TapPoint(op, block_idx)
+        t_grid = t_grid or tuple(np.linspace(0.1, 1.0, 10).round(2))
+        t_indices = tuple(
+            int(jnp.argmin(jnp.abs(self.fwd_grid.timesteps - et * 1000.0)))
+            for et in t_grid
+        )
+        names = [
+            basis_name(cfg.dataset_name, idx, et, op, block_idx, cfg.seed)
+            for et in t_grid
+        ]
+        if all(self.cache.load(n) is not None for n in names):
+            return {et: self.cache.path(n) for et, n in zip(t_grid, names)}
+
+        xT = self.run_ddim_inversion(idx)
+
+        def sweep(p, x, key):
+            eps = self._eps_with(p)
+            # full forward trajectory in one scan; xt at grid index i is the
+            # scan input of step i (trajectory[i-1], or xT for i=0)
+            _, traj = ddim_scan(
+                eps, x, self.schedule, self.fwd_grid.timesteps,
+                self.fwd_grid.timesteps_next, collect_trajectory=True,
+            )
+            traj = jnp.concatenate([x[None], traj[:-1]], axis=0)
+            xts = jnp.stack([traj[i] for i in t_indices])      # (k, 1, H, W, C)
+            ts = jnp.stack([self.fwd_grid.timesteps[i] for i in t_indices])
+            keys = jax.random.split(key, len(t_indices))
+
+            def pull_one(args):
+                xt, tt, kk = args
+                return local_pullback(
+                    lambda zz: self.model.apply(p, zz, tt, tap,
+                                                method=UNet2D.encode),
+                    xt, kk, pca_rank=pca_rank,
+                    min_iter=self.cfg.pullback_min_iter,
+                    max_iter=self.cfg.pullback_max_iter,
+                    atol=self.cfg.pullback_atol,
+                    chunk_size=self.cfg.pullback_chunk_size,
+                )
+
+            if sequential:
+                return jax.lax.map(pull_one, (xts, ts, keys))
+            return jax.vmap(lambda xt, tt, kk: pull_one((xt, tt, kk)))(
+                xts, ts, keys
+            )
+
+        run = self._jitted(
+            f"harvest_{tap}_{pca_rank}_{t_indices}_{sequential}", sweep
+        )
+        t0 = time.perf_counter()
+        res = run(self.params, xT, jax.random.key(cfg.seed))
+        jax.block_until_ready(res)
+        self.log.log(
+            "tangent_harvest_batched",
+            num_t=len(t_grid),
+            seconds=time.perf_counter() - t0,
+            per_basis=round((time.perf_counter() - t0) / len(t_grid), 4),
+        )
+        out = {}
+        for i, (et, name) in enumerate(zip(t_grid, names)):
+            out[et] = self.cache.save(
+                name, np.asarray(res.u[i]), np.asarray(res.s[i]),
+                np.asarray(res.vT[i]),
+            )
+        return out
 
     def run_sample_encoder_local_tangent_space_xt(
         self,

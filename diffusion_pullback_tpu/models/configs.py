@@ -106,6 +106,11 @@ class UNet2DConditionConfig:
     dropout: float = 0.0
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
+    # SDXL addition embeddings: pooled text (text_embeds) + micro-conds
+    # (time_ids) folded into the time embedding
+    addition_embed_dim: Optional[int] = None       # pooled-text dim (1280)
+    addition_time_embed_dim: Optional[int] = None  # per-time_id fourier dim (256)
+    num_time_ids: int = 6
     dtype: str = "float32"
     precision: Optional[str] = None
     attn_impl: str = "xla"
@@ -126,6 +131,42 @@ def sd15_unet(**over) -> UNet2DConditionConfig:
         cross_attention_dim=768,
         use_linear_projection=False,
         **over,
+    )
+
+
+def sdxl_base_unet(**over) -> UNet2DConditionConfig:
+    """stabilityai/stable-diffusion-xl-base-1.0 U-Net: 3 levels, transformer
+    depths (1,2,10), 2048-d context, pooled-text + time_ids addition embeds
+    (BASELINE config 5 target)."""
+    return UNet2DConditionConfig(
+        sample_size=128,
+        block_out_channels=(320, 640, 1280),
+        down_block_types=("down", "cross", "cross"),
+        up_block_types=("cross", "cross", "up"),
+        attention_heads=(5, 10, 20),
+        transformer_depth=(1, 2, 10),
+        cross_attention_dim=2048,
+        addition_embed_dim=1280,
+        addition_time_embed_dim=256,
+        **over,
+    )
+
+
+def sdxl_tiny_unet(sample_size: int = 8) -> UNet2DConditionConfig:
+    """Tiny SDXL-style config (addition embeds + deep transformer) for tests."""
+    return UNet2DConditionConfig(
+        sample_size=sample_size,
+        block_out_channels=(8, 16),
+        down_block_types=("down", "cross"),
+        up_block_types=("cross", "up"),
+        layers_per_block=1,
+        attention_heads=(2, 2),
+        attention_head_dim=4,
+        transformer_depth=(1, 2),
+        cross_attention_dim=16,
+        addition_embed_dim=8,
+        addition_time_embed_dim=4,
+        norm_num_groups=4,
     )
 
 

@@ -227,6 +227,9 @@ class UNet2DCondition(nn.Module):
                                precision=precision)
         self.time_mlp = TimestepEmbedMLP(4 * ch0, dtype=dtype,
                                          precision=precision)
+        if cfg.addition_embed_dim:
+            self.add_embedding = TimestepEmbedMLP(4 * ch0, dtype=dtype,
+                                                  precision=precision)
 
         n_down = len(cfg.down_block_types)
         down = []
@@ -297,7 +300,7 @@ class UNet2DCondition(nn.Module):
 
     # ---- internals --------------------------------------------------------
 
-    def _embed(self, t, batch):
+    def _embed(self, t, batch, added_cond=None):
         cfg = self.config
         t = jnp.asarray(t)
         if t.ndim == 0:
@@ -305,7 +308,23 @@ class UNet2DCondition(nn.Module):
         feat = timestep_embedding(
             t, cfg.block_out_channels[0], cfg.flip_sin_to_cos, cfg.freq_shift
         )
-        return self.time_mlp(feat)
+        emb = self.time_mlp(feat)
+        if cfg.addition_embed_dim:
+            if added_cond is None:
+                raise ValueError(
+                    "this config uses SDXL addition embeddings: pass "
+                    "added_cond=(text_embeds, time_ids)"
+                )
+            text_embeds, time_ids = added_cond
+            tf = timestep_embedding(
+                time_ids.reshape(-1), cfg.addition_time_embed_dim,
+                cfg.flip_sin_to_cos, cfg.freq_shift,
+            ).reshape(time_ids.shape[0], -1)
+            add = jnp.concatenate([text_embeds, tf], axis=-1)
+            if add.shape[0] == 1 and batch > 1:
+                add = jnp.broadcast_to(add, (batch,) + add.shape[1:])
+            emb = emb + self.add_embedding(add)
+        return emb
 
     def _call_down(self, block, x, emb, ctx, deterministic):
         if isinstance(block, CrossAttnDownBlock):
@@ -330,11 +349,12 @@ class UNet2DCondition(nn.Module):
 
     # ---- public -----------------------------------------------------------
 
-    def __call__(self, x, t, encoder_hidden_states, deterministic=True):
+    def __call__(self, x, t, encoder_hidden_states, deterministic=True,
+                 added_cond=None):
         ctx = encoder_hidden_states
         if ctx.shape[0] == 1 and x.shape[0] > 1:
             ctx = jnp.broadcast_to(ctx, (x.shape[0],) + ctx.shape[1:])
-        emb = self._embed(t, x.shape[0])
+        emb = self._embed(t, x.shape[0], added_cond)
         h = self.conv_in(x)
         skips = (h,)
         for block in self.down_blocks:
@@ -345,18 +365,18 @@ class UNet2DCondition(nn.Module):
         return self._head(h)
 
     def encode(self, x, t, encoder_hidden_states, tap: TapPoint,
-               deterministic=True):
+               deterministic=True, added_cond=None):
         return self.encode_with_state(
-            x, t, encoder_hidden_states, tap, deterministic
+            x, t, encoder_hidden_states, tap, deterministic, added_cond
         )[0]
 
     def encode_with_state(self, x, t, encoder_hidden_states, tap: TapPoint,
-                          deterministic=True):
+                          deterministic=True, added_cond=None):
         tap = TapPoint(*tap).validate(len(self.down_blocks), len(self.up_blocks))
         ctx = encoder_hidden_states
         if ctx.shape[0] == 1 and x.shape[0] > 1:
             ctx = jnp.broadcast_to(ctx, (x.shape[0],) + ctx.shape[1:])
-        emb = self._embed(t, x.shape[0])
+        emb = self._embed(t, x.shape[0], added_cond)
         h = self.conv_in(x)
         skips = (h,)
         for i, block in enumerate(self.down_blocks):

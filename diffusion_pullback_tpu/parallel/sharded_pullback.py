@@ -81,3 +81,31 @@ def sharded_local_pullback(
     )
     with mesh:
         return run(x, key)
+
+
+def dp_vmap(fn, mesh: Mesh, axis_name: str = "dp"):
+    """Data-parallel map: jit(vmap(fn)) with every argument/output sharded on
+    its leading axis over ``mesh[axis_name]``.
+
+    This is the sweep-axis parallelism of SURVEY §7 stage 8: the (sample ×
+    timestep × prompt) harvest grid becomes one array axis laid out across
+    the mesh — each device runs its slice of the vmapped pullbacks, XLA
+    inserting collectives only if fn itself couples instances (it doesn't).
+    """
+    sh = NamedSharding(mesh, P(axis_name))
+
+    def spec_like(tree):
+        return jax.tree.map(lambda _: sh, tree)
+
+    vf = jax.vmap(fn)
+
+    def run(*args):
+        jf = jax.jit(
+            vf,
+            in_shardings=spec_like(args),
+            out_shardings=None,  # let XLA propagate the dp layout
+        )
+        with mesh:
+            return jf(*args)
+
+    return run

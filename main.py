@@ -207,12 +207,38 @@ def main(argv=None):
             vis_num=4, vis_num_pc=2, pca_rank=args.pca_rank or 2,
         )
 
+    if args.run_edit_parallel_transport:
+        edit.run_edit_parallel_transport(
+            sample_idx_0=args.sample_idx_0, sample_idx_1=args.sample_idx_1,
+            op="mid", block_idx=0, vis_num=4, vis_num_pc=2, pca_rank=50,
+        )
+
+    if args.run_edit_local_pca_zt:
+        edit.run_edit_local_pca_xt(
+            idx=args.sample_idx, op="mid", block_idx=0,
+            pca_rank=max(args.pca_rank, 4), vis_num=4, vis_num_pc=2,
+        )
+
     if args.run_sample_encoder_local_tangent_space_zt:
         edit_t_list = [round(t, 2) for t in
                        [0.05 * i for i in range(1, 21)]]
         edit.run_sample_encoder_local_tangent_space_xt(
             idx=args.sample_idx, op="mid", block_idx=0, pca_rank=50,
             t_grid=tuple(reversed(edit_t_list)),
+        )
+
+    if args.run_edit_global_frechet_mean_zt:
+        edit.run_edit_global_frechet_mean_xt(
+            idx=args.sample_idx,
+            basis_indices=list(range(min(args.num_local_basis, 5))),
+            op="mid", block_idx=0, pca_rank=10, vis_num=4, vis_num_pc=2,
+        )
+
+    if args.run_edit_global_hungarian_mean_zt:
+        edit.run_edit_global_hungarian_mean_xt(
+            idx=args.sample_idx,
+            basis_indices=list(range(min(args.num_local_basis, 5))),
+            op="mid", block_idx=0, pca_rank=10, vis_num=4, vis_num_pc=2,
         )
 
     if args.run_ddim_forward:

@@ -1,0 +1,119 @@
+"""Secondary uncond experiments: parallel transport, local-PCA edit,
+decoder/x̂₀ pullbacks."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_pullback_tpu.experiments import (
+    EditUncondDiffusion,
+    UncondExperimentConfig,
+)
+from diffusion_pullback_tpu.models import TapPoint, UNet2D, ddpm_tiny
+from diffusion_pullback_tpu.ops import DiffusionSchedule
+from diffusion_pullback_tpu.utils.datasets import NoiseDataset
+from diffusion_pullback_tpu.utils.logging import JSONLLogger
+
+
+@pytest.fixture()
+def driver(tmp_path):
+    cfg = UncondExperimentConfig(
+        for_steps=6, inv_steps=6, edit_t=0.6, pca_rank=4,
+        pullback_min_iter=2, pullback_max_iter=3,
+        x_space_guidance_num_step=2, vis_num=2, vis_num_pc=1,
+        result_folder=str(tmp_path / "runs"),
+        obs_folder=str(tmp_path / "obs"),
+        basis_folder=str(tmp_path / "inputs"),
+    )
+    model = UNet2D(ddpm_tiny(16))
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                        jnp.float32(0.0))
+    return EditUncondDiffusion(
+        model, params, DiffusionSchedule.linear(), NoiseDataset(16, n=3), cfg,
+        logger=JSONLLogger(path=None, echo=False),
+    )
+
+
+def test_parallel_transport_edit(driver):
+    names = driver.run_edit_parallel_transport(
+        sample_idx_0=0, sample_idx_1=1, pca_rank=4, vis_num=2, vis_num_pc=1
+    )
+    assert len(names) == 2
+    for n in names:
+        assert "0to1" in n
+        assert os.path.exists(os.path.join(driver.cfg.result_folder, n + ".png"))
+
+
+def test_local_pca_edit(driver):
+    names = driver.run_edit_local_pca_xt(
+        idx=2, pca_rank=3, num_samples=64, vis_num=2, vis_num_pc=1
+    )
+    assert len(names) == 2
+    for n in names:
+        assert os.path.exists(os.path.join(driver.cfg.result_folder, n + ".png"))
+
+
+def test_decoder_and_x0_pullback(driver):
+    xT = driver.run_ddim_inversion(0)
+    xt = driver.forward_to_edit_t(xT)
+    t = driver.fwd_grid.timesteps[driver.edit_t_idx]
+    tap = TapPoint("mid", 0)
+    res = driver.compute_local_decoder_basis(xt, t, tap, pca_rank=3)
+    # h at mid for tiny config: 8x8x16 → dim 1024; eps-space u: 16*16*3
+    assert res.vT.shape == (3, 8 * 8 * 16)
+    assert res.u.shape == (16 * 16 * 3, 3)
+    assert bool(jnp.all(res.s[:-1] >= res.s[1:]))  # descending
+    res0 = driver.compute_local_decoder_basis(xt, t, tap, pca_rank=3,
+                                              x0_pullback=True)
+    assert res0.vT.shape == (3, 8 * 8 * 16)
+    # Tweedie map scales ε by -sqrt(1-a)/sqrt(a): singular values scale too
+    assert not np.allclose(np.asarray(res0.s), np.asarray(res.s))
+
+
+def test_global_mean_edits(driver):
+    names_f = driver.run_edit_global_frechet_mean_xt(
+        idx=2, basis_indices=[0, 1], pca_rank=4, vis_num=2, vis_num_pc=1
+    )
+    assert len(names_f) == 2 and "global_frechet" in names_f[0]
+    names_h = driver.run_edit_global_hungarian_mean_xt(
+        idx=2, basis_indices=[0, 1], pca_rank=4, vis_num=2, vis_num_pc=1
+    )
+    assert len(names_h) == 2 and "global_hungarian" in names_h[0]
+    for n in names_f + names_h:
+        assert os.path.exists(os.path.join(driver.cfg.result_folder, n + ".png"))
+
+
+def test_batched_harvest_matches_loop(driver):
+    # enough iterations that both probe seeds converge to the same subspace
+    driver.cfg.pullback_min_iter = 8
+    driver.cfg.pullback_max_iter = 15
+    driver._jit_cache.clear()
+    out_b = driver.run_sample_encoder_local_tangent_space_xt_batched(
+        idx=0, pca_rank=2, t_grid=(0.4, 0.8)
+    )
+    assert len(out_b) == 2
+    # compare against the per-t loop (different probe init → same converged
+    # subspace)
+    import numpy as np
+    from diffusion_pullback_tpu.experiments import basis_name
+
+    for et in (0.4, 0.8):
+        name = basis_name(driver.cfg.dataset_name, 0, et, "mid", 0, 0)
+        u_b, s_b, vT_b = driver.cache.load(name)
+        t_idx = int(jnp.argmin(jnp.abs(driver.fwd_grid.timesteps - et * 1000.0)))
+        xT = driver.run_ddim_inversion(0)
+        from diffusion_pullback_tpu.samplers.ddim_loop import ddim_forward
+        xt = ddim_forward(driver.eps_fn, xT, driver.schedule, driver.fwd_grid,
+                          start_idx=0, end_idx=t_idx)
+        res = driver.compute_local_basis(
+            xt, driver.fwd_grid.timesteps[t_idx], TapPoint("mid", 0), 2
+        )
+        # compare the dominant triplet only: the tiny random net has a
+        # clustered σ₂≈σ₃ tail, so higher directions are seed-sensitive
+        np.testing.assert_allclose(abs(float(s_b[0])),
+                                   abs(float(res.s[0])), rtol=2e-2)
+        cos0 = abs(float(np.dot(vT_b[0], np.asarray(res.vT[0]))))
+        assert cos0 > 0.99, cos0

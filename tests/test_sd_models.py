@@ -135,3 +135,31 @@ def test_causal_mask():
     eb = model.apply(params, b)
     np.testing.assert_array_equal(np.asarray(ea[0, :4]), np.asarray(eb[0, :4]))
     assert np.abs(np.asarray(ea[0, 4:]) - np.asarray(eb[0, 4:])).max() > 0
+
+
+def test_sdxl_addition_embeddings():
+    from diffusion_pullback_tpu.models import sdxl_tiny_unet
+
+    cfg = sdxl_tiny_unet(8)
+    model = UNet2DCondition(cfg)
+    x = jnp.zeros((1, 8, 8, 4))
+    ctx = jnp.zeros((1, 7, 16))
+    te = jnp.ones((1, 8))       # pooled text
+    tids = jnp.ones((1, 6))     # time_ids
+    t = jnp.float32(3.0)
+    params = model.init(jax.random.key(0), x, t, ctx, added_cond=(te, tids))
+    out = model.apply(params, x, t, ctx, added_cond=(te, tids))
+    assert out.shape == x.shape
+    # missing added_cond must fail loudly
+    with pytest.raises(ValueError, match="addition embeddings"):
+        model.apply(params, x, t, ctx)
+    # addition embedding actually conditions the output
+    out2 = model.apply(params, x, t, ctx, added_cond=(te * 2.0, tids))
+    assert float(jnp.abs(out - out2).max()) > 1e-7
+    # taps work with added conds
+    tap = TapPoint("mid", 0)
+    h, state = model.apply(params, x, t, ctx, tap, added_cond=(te, tids),
+                           method=UNet2DCondition.encode_with_state)
+    back = model.apply(params, h, state, tap,
+                       method=UNet2DCondition.decode_with_state)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(back))
