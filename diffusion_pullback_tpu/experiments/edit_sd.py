@@ -252,6 +252,7 @@ class EditStableDiffusion:
         zT = self.run_DDIMinversion(idx)
         zt = self.DDIMforwardsteps(zT, 0, self.edit_t_idx)
         t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
+        shape_hint = tuple(zt.shape[1:])
 
         name = basis_name(
             cfg.dataset_name, idx, cfg.edit_t, op, block_idx, cfg.seed,
@@ -265,6 +266,21 @@ class EditStableDiffusion:
             res = self.compute_local_basis(zt, t_edit, tap, pca_rank)
             u, s, vT = res.u, res.s, res.vT
             self.cache.save(name, u, s, vT)
+            # analysis artifacts (reference edit.py:249-263)
+            try:
+                from .vis import plot_eigenvalue_spectrum, visualize_vT_rgb
+
+                plot_eigenvalue_spectrum(
+                    np.asarray(s),
+                    os.path.join(cfg.obs_folder,
+                                 f"eigenvalue_spectrum-{name}.png"),
+                )
+                visualize_vT_rgb(
+                    np.asarray(vT), shape_hint,
+                    os.path.join(cfg.obs_folder, f"vT-{name}.png"),
+                )
+            except Exception as e:  # visualisation must never kill a run
+                self.log.log("vis_failed", error=str(e))
 
         u = u / jnp.linalg.norm(u, axis=0, keepdims=True)
         vT = vT / jnp.linalg.norm(vT, axis=1, keepdims=True)

@@ -215,6 +215,7 @@ class EditUncondDiffusion:
         xT = self.run_ddim_inversion(idx)
         xt = self.forward_to_edit_t(xT)
         t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
+        shape_hint = tuple(xt.shape[1:])
 
         name = basis_name(
             cfg.dataset_name, idx, cfg.edit_t, op, block_idx, cfg.seed
@@ -227,6 +228,21 @@ class EditUncondDiffusion:
             res = self.compute_local_basis(xt, t_edit, tap, pca_rank)
             u, s, vT = res.u, res.s, res.vT
             self.cache.save(name, u, s, vT)
+            # analysis artifacts (reference edit.py:249-263)
+            try:
+                from .vis import plot_eigenvalue_spectrum, visualize_vT_rgb
+
+                plot_eigenvalue_spectrum(
+                    np.asarray(s),
+                    os.path.join(cfg.obs_folder,
+                                 f"eigenvalue_spectrum-{name}.png"),
+                )
+                visualize_vT_rgb(
+                    np.asarray(vT), shape_hint,
+                    os.path.join(cfg.obs_folder, f"vT-{name}.png"),
+                )
+            except Exception as e:  # visualisation must never kill a run
+                self.log.log("vis_failed", error=str(e))
 
         # normalise (reference edit.py:267-268)
         u = u / jnp.linalg.norm(u, axis=0, keepdims=True)

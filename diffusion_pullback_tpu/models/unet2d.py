@@ -49,6 +49,10 @@ from .layers import (
 class TapPoint(NamedTuple):
     op: str            # 'down' | 'mid' | 'up'
     block_idx: int = 0
+    # intra-block tap (encode-only, like the reference's down_block_forward
+    # after_res/after_sa taps, utils.py:638-719): ('res', j) → after resnet j
+    # of the block; ('attn', j) → after self-attention j. None = block output.
+    inner: Optional[Tuple[str, int]] = None
 
     def validate(self, num_down: int, num_up: int) -> "TapPoint":
         if self.op == "mid":
@@ -62,6 +66,12 @@ class TapPoint(NamedTuple):
                 raise ValueError(f"up tap block_idx out of range: {self.block_idx}")
         else:
             raise ValueError(f"invalid tap op: {self.op!r}")
+        if self.inner is not None:
+            if self.op != "down":
+                raise ValueError("inner taps are only supported on down blocks")
+            kind, _ = self.inner
+            if kind not in ("res", "attn"):
+                raise ValueError(f"invalid inner tap kind: {kind!r}")
         return self
 
 
@@ -102,7 +112,7 @@ class DownBlock(nn.Module):
     precision: Any = None
 
     @nn.compact
-    def __call__(self, x, temb, deterministic: bool = True):
+    def __call__(self, x, temb, deterministic: bool = True, stop_at=None):
         res = []
         for i in range(self.num_layers):
             x = ResnetBlock(
@@ -114,6 +124,8 @@ class DownBlock(nn.Module):
                 precision=self.precision,
                 name=f"resnets_{i}",
             )(x, temb, deterministic)
+            if stop_at == ("res", i):
+                return x, tuple(res)
             if self.add_attention:
                 x = SelfAttention2D(
                     num_head_channels=self.attention_head_dim,
@@ -123,6 +135,8 @@ class DownBlock(nn.Module):
                     precision=self.precision,
                     name=f"attentions_{i}",
                 )(x)
+                if stop_at == ("attn", i):
+                    return x, tuple(res)
             res.append(x)
         if self.add_downsample:
             x = Downsample2D(
@@ -353,6 +367,15 @@ class UNet2D(nn.Module):
         tap = TapPoint(*tap).validate(len(self.down_blocks), len(self.up_blocks))
         emb = self._embed(t, x.shape[0])
         h = self.conv_in(x)
+        if tap.inner is not None:
+            # encode-only intra-block tap (the reference's get_h_to_e asserts
+            # these out of the decode path too, utils.py:544)
+            for i in range(tap.block_idx):
+                h, res = self.down_blocks[i](h, emb, deterministic)
+            h, _ = self.down_blocks[tap.block_idx](
+                h, emb, deterministic, stop_at=tap.inner
+            )
+            return h, TapState(emb, ())
         if tap.op == "down":
             h, skips = self._run_down(h, emb, tap.block_idx, deterministic)
             return h, TapState(emb, skips)
@@ -375,6 +398,11 @@ class UNet2D(nn.Module):
         """Resume h(tap) → ε, broadcasting cached skips over h's batch
         (reference get_h_to_e, utils.py:529-635 — extended to 'up' taps)."""
         tap = TapPoint(*tap).validate(len(self.down_blocks), len(self.up_blocks))
+        if tap.inner is not None:
+            raise NotImplementedError(
+                "decode from intra-block taps is not supported (reference "
+                "get_h_to_e asserts the same, utils.py:544)"
+            )
         state = _broadcast_state(TapState(*state), h.shape[0])
         emb, skips = state.emb, state.skips
         if tap.op == "down":

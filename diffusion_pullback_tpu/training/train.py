@@ -56,30 +56,63 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     ema_rate: float = 0.9999,
     learn_sigma_vb_weight: Optional[float] = None,
+    loss_aware: bool = False,
 ):
-    """Build the pure train step: (state, x0 batch, key) → (state, metrics).
+    """Build the pure train step.
 
-    ``apply_fn(params, x_t, t)`` predicts ε (learned-σ heads train their ε
-    half against MSE like the reference's simplified objective; the vb term
-    can be added via ``learn_sigma_vb_weight`` later).
+    Plain:       (state, x0, key) → (state, metrics)
+    loss_aware:  (state, x0, key, sampler_state) → (state, metrics,
+                 sampler_state) — LossSecondMomentResampler semantics
+                 (importance-sampled t + history update, training/resample.py).
+
+    ``apply_fn(params, x_t, t)`` predicts ε; a learned-σ head (2× channels)
+    trains its ε half with MSE plus ``learn_sigma_vb_weight``·L_vb (the
+    improved-DDPM hybrid objective; stop-gradient on the mean inside L_vb is
+    inherited from predicting ε in both terms).
     """
+    from .losses import vb_term
+    from .resample import loss_aware_sample_t, update_loss_aware, uniform_sample_t
 
-    def loss_fn(params, x0, t, noise):
+    def per_sample_losses(params, x0, t, noise):
         at = alpha_bar(schedule, t.astype(jnp.float32))
         at = at.reshape((-1,) + (1,) * (x0.ndim - 1))
         xt = jnp.sqrt(at) * x0 + jnp.sqrt(1.0 - at) * noise
         pred = apply_fn(params, xt, t.astype(jnp.float32))
-        if pred.shape[-1] != noise.shape[-1]:  # learned-sigma head: ε half
-            pred = pred[..., : noise.shape[-1]]
-        return jnp.mean((pred.astype(jnp.float32) - noise) ** 2)
-
-    def train_step(state: TrainState, x0: jax.Array, key: jax.Array):
-        kt, kn = jax.random.split(key)
-        t = jax.random.randint(
-            kt, (x0.shape[0],), 0, schedule.num_train_timesteps
+        if pred.shape[-1] != noise.shape[-1]:  # learned-sigma head
+            eps_pred = pred[..., : noise.shape[-1]]
+            logvar = pred[..., noise.shape[-1]:]
+        else:
+            eps_pred, logvar = pred, None
+        mse = jnp.mean(
+            (eps_pred.astype(jnp.float32) - noise) ** 2,
+            axis=tuple(range(1, x0.ndim)),
         )
+        if learn_sigma_vb_weight and logvar is not None:
+            vb = vb_term(
+                schedule, x0, xt, t.astype(jnp.float32),
+                jax.lax.stop_gradient(eps_pred.astype(jnp.float32)),
+                logvar.astype(jnp.float32),
+            )
+            mse = mse + learn_sigma_vb_weight * vb
+        return mse
+
+    def loss_fn(params, x0, t, noise, weights):
+        losses = per_sample_losses(params, x0, t, noise)
+        return jnp.mean(losses * weights), losses
+
+    def train_step(state: TrainState, x0: jax.Array, key: jax.Array,
+                   sampler_state=None):
+        kt, kn = jax.random.split(key)
+        if loss_aware:
+            t, weights = loss_aware_sample_t(sampler_state, kt, x0.shape[0])
+        else:
+            t, weights = uniform_sample_t(
+                kt, x0.shape[0], schedule.num_train_timesteps
+            )
         noise = jax.random.normal(kn, x0.shape, x0.dtype)
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, x0, t, noise)
+        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, x0, t, noise, weights
+        )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema_params = jax.tree.map(
@@ -93,6 +126,9 @@ def make_train_step(
             "grad_norm": optax.global_norm(grads),
             "step": new_state.step,
         }
+        if loss_aware:
+            sampler_state = update_loss_aware(sampler_state, t, losses)
+            return new_state, metrics, sampler_state
         return new_state, metrics
 
     return train_step

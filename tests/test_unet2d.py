@@ -110,3 +110,31 @@ def test_invalid_tap_raises(tiny):
         model.apply(params, x, t, TapPoint("down", 7), method=UNet2D.encode)
     with pytest.raises(ValueError):
         model.apply(params, x, t, TapPoint("sideways", 0), method=UNet2D.encode)
+
+
+def test_intra_block_taps(tiny):
+    """Encode-only taps after a specific resnet / self-attention inside a
+    down block (reference down_block_forward surface)."""
+    model, params, x, t = tiny
+    h_res = model.apply(params, x, t, TapPoint("down", 1, ("res", 0)),
+                        method=UNet2D.encode)
+    h_attn = model.apply(params, x, t, TapPoint("down", 1, ("attn", 0)),
+                         method=UNet2D.encode)
+    h_block = model.apply(params, x, t, TapPoint("down", 1),
+                          method=UNet2D.encode)
+    # res tap is pre-attention; attn tap post-attention; block tap includes
+    # everything — all distinct, same spatial shape family
+    assert h_res.shape == h_attn.shape
+    assert float(jnp.abs(h_res - h_attn).max()) > 1e-6
+    assert h_block.shape[-1] == h_attn.shape[-1]
+    # jvp works through intra-block taps
+    f = lambda z: model.apply(params, z, t, TapPoint("down", 1, ("res", 0)),
+                              method=UNet2D.encode)
+    _, jvp_fn = jax.linearize(f, x)
+    assert jvp_fn(jnp.ones_like(x)).shape == h_res.shape
+    # decode from intra-block tap is explicitly unsupported
+    hh, state = model.apply(params, x, t, TapPoint("down", 1, ("res", 0)),
+                            method=UNet2D.encode_with_state)
+    with pytest.raises(NotImplementedError):
+        model.apply(params, hh, state, TapPoint("down", 1, ("res", 0)),
+                    method=UNet2D.decode_with_state)
