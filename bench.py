@@ -26,6 +26,45 @@ from diffusion_pullback_tpu.samplers import ddim_forward, x_space_guidance_scan
 NORTH_STAR_SECONDS = 10.0
 
 
+def bench_sd_pullback():
+    """Optional (--sd): SD 2.1-base latent pullback (BASELINE config 3 shape)
+    with random-init weights — mid-tap top-1 PC, r=8, 5 iterations."""
+    import dataclasses
+
+    from diffusion_pullback_tpu.models import UNet2DCondition, sd21_base_unet
+    from diffusion_pullback_tpu.models.unet2d_condition import UNet2DCondition as U
+
+    cfg = sd21_base_unet()
+    unet = UNet2DCondition(cfg)
+    z = jax.random.normal(jax.random.key(0), (1, 64, 64, 4), jnp.float32)
+    ctx = jax.random.normal(jax.random.key(1), (1, 77, 1024), jnp.float32)
+    t = jnp.float32(699.3)
+    params = jax.jit(lambda k: unet.init(k, z, t, ctx))(jax.random.key(2))
+
+    tap = TapPoint("mid", 0)
+    RANK, ITERS = 8, 5
+    pull = jax.jit(
+        lambda p, zz, c, k: local_pullback(
+            lambda q: unet.apply(p, q, t, c, tap, method=U.encode),
+            zz, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS, atol=0.0,
+        )
+    )
+    jax.block_until_ready(pull(params, z, ctx, jax.random.key(3)))
+    t0 = time.perf_counter()
+    res = pull(params, z, ctx, jax.random.key(3))
+    jax.block_until_ready(res)
+    sec = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "sd21_latent_pullback_top1pc",
+        "value": round(sec, 4),
+        "unit": "s",
+        "vs_baseline": round(NORTH_STAR_SECONDS / sec, 3),
+        "jvp_evals_per_sec": round((ITERS * 2 * RANK + RANK) / sec, 2),
+        "pca_rank": RANK,
+        "power_iters": ITERS,
+    }))
+
+
 def main():
     import dataclasses
 
@@ -61,6 +100,16 @@ def main():
     t0 = time.perf_counter()
     fwd16(params, x).block_until_ready()
     ddim_bf16_steps_per_sec = grid100.num_steps / (time.perf_counter() - t0)
+
+    # --- 1c. DDIM steps/sec with DeepCache encoder reuse (interval 3) ------
+    from diffusion_pullback_tpu.samplers.deepcache import ddim_forward_deepcache
+
+    fwd_dc = jax.jit(lambda p, z: ddim_forward_deepcache(
+        model, p, z, sched, grid100, interval=3))
+    fwd_dc(params, x).block_until_ready()
+    t0 = time.perf_counter()
+    fwd_dc(params, x).block_until_ready()
+    ddim_dc_steps_per_sec = grid100.num_steps / (time.perf_counter() - t0)
 
     # --- 2. pullback: top-1 PC via 5 power iterations (r=8 probes) ---------
     RANK, ITERS = 8, 5
@@ -109,6 +158,7 @@ def main():
                 "device": str(dev),
                 "ddim_steps_per_sec": round(ddim_steps_per_sec, 2),
                 "ddim_steps_per_sec_bf16": round(ddim_bf16_steps_per_sec, 2),
+                "ddim_steps_per_sec_deepcache3": round(ddim_dc_steps_per_sec, 2),
                 "jvp_evals_per_sec": round(jvp_evals_per_sec, 2),
                 "pullback_sec": round(pull_sec, 4),
                 "edit_sec": round(edit_sec, 4),
@@ -120,4 +170,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--sd" in sys.argv:
+        bench_sd_pullback()
+    else:
+        main()

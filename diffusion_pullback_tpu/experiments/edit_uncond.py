@@ -316,6 +316,13 @@ class EditUncondDiffusion:
             )
         return names
 
+    # reference-name alias (main.py dispatches run_edit_local_encoder_pullback_zt
+    # for both families, reference main.py:30-34)
+    def run_edit_local_encoder_pullback_zt(self, *a, **kw):
+        kw.pop("edit_prompt", None)  # uncond has no prompt conditioning
+        kw.pop("edit_t", None)
+        return self.run_edit_local_encoder_pullback_xt(*a, **kw)
+
     # ---- secondary geometry experiments ----------------------------------
 
     def run_edit_parallel_transport(

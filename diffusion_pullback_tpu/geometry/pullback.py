@@ -31,7 +31,7 @@ and the probe axis shards over a device mesh in parallel/sharded_pullback.
 
 from __future__ import annotations
 
-import functools
+
 import math
 from typing import Callable, NamedTuple, Optional
 

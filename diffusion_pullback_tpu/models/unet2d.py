@@ -422,6 +422,22 @@ class UNet2D(nn.Module):
                 h = self.up_blocks[i](h, res, emb, deterministic)
         return self._head(h)
 
+    def shallow_encode(self, x, t, deterministic: bool = True) -> TapState:
+        """Cheap shallow pass: time embedding + conv_in + the first down
+        block's resnet/attention outputs — exactly the skips the LAST up
+        block consumes. Powers encoder-reuse sampling (samplers/deepcache.py):
+        deep features are cached across steps, only this shallow slice and
+        the last up block recompute per step."""
+        emb = self._embed(t, x.shape[0])
+        h = self.conv_in(x)
+        block = self.down_blocks[0]
+        kind = "attn" if block.add_attention else "res"
+        out, res = block(
+            h, emb, deterministic,
+            stop_at=(kind, self.config.layers_per_block - 1),
+        )
+        return TapState(emb, (h,) + res + (out,))
+
     def forward_dh(
         self, x, t, dh, tap: TapPoint, deterministic: bool = True
     ):

@@ -67,7 +67,7 @@ class CrossAttnDownBlock(nn.Module):
     attn_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x, temb, context, deterministic=True):
+    def __call__(self, x, temb, context, deterministic=True, stop_at=None):
         res = []
         for i in range(self.num_layers):
             x = ResnetBlock(
@@ -75,6 +75,8 @@ class CrossAttnDownBlock(nn.Module):
                 eps=self.norm_eps, dropout=self.dropout, dtype=self.dtype,
                 precision=self.precision, name=f"resnets_{i}",
             )(x, temb, deterministic)
+            if stop_at == ("res", i):
+                return x, tuple(res)
             x = Transformer2D(
                 heads=self.heads, head_dim=self.head_dim, depth=self.depth,
                 use_linear_projection=self.use_linear_projection,
@@ -82,6 +84,8 @@ class CrossAttnDownBlock(nn.Module):
                 precision=self.precision, attn_impl=self.attn_impl,
                 name=f"attentions_{i}",
             )(x, context)
+            if stop_at == ("attn", i):
+                return x, tuple(res)
             res.append(x)
         if self.add_downsample:
             x = Downsample2D(self.out_channels, dtype=self.dtype,
@@ -378,6 +382,18 @@ class UNet2DCondition(nn.Module):
             ctx = jnp.broadcast_to(ctx, (x.shape[0],) + ctx.shape[1:])
         emb = self._embed(t, x.shape[0], added_cond)
         h = self.conv_in(x)
+        if tap.inner is not None:
+            # encode-only intra-block tap (reference down_block_forward,
+            # utils.py:638-719 — SD blocks; decode unsupported there too)
+            for i in range(tap.block_idx):
+                h, _ = self._call_down(self.down_blocks[i], h, emb, ctx,
+                                       deterministic)
+            blk = self.down_blocks[tap.block_idx]
+            if isinstance(blk, CrossAttnDownBlock):
+                h, _ = blk(h, emb, ctx, deterministic, stop_at=tap.inner)
+            else:
+                raise ValueError("inner taps need a cross-attention block")
+            return h, CondTapState(emb, (), ctx)
         skips = (h,)
         for i, block in enumerate(self.down_blocks):
             h, res = self._call_down(block, h, emb, ctx, deterministic)
@@ -399,6 +415,11 @@ class UNet2DCondition(nn.Module):
     def decode_with_state(self, h, state: CondTapState, tap: TapPoint,
                           deterministic=True):
         tap = TapPoint(*tap).validate(len(self.down_blocks), len(self.up_blocks))
+        if tap.inner is not None:
+            raise NotImplementedError(
+                "decode from intra-block taps is not supported (reference "
+                "get_h_to_e asserts the same, utils.py:544)"
+            )
         state = _broadcast_cond_state(CondTapState(*state), h.shape[0])
         emb, skips, ctx = state
         if tap.op == "down":

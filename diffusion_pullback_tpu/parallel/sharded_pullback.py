@@ -15,7 +15,6 @@ as in the reference's dead dist_util; no manual collectives at all.)
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

@@ -202,10 +202,21 @@ def main(argv=None):
         edit = build_uncond(args)
 
     if args.run_edit_local_encoder_pullback_zt:
-        edit.run_edit_local_encoder_pullback_xt(
+        edit.run_edit_local_encoder_pullback_zt(
             idx=args.sample_idx, op="mid", block_idx=0,
             vis_num=4, vis_num_pc=2, pca_rank=args.pca_rank or 2,
+            edit_prompt=args.edit_prompt or None,
         )
+
+    if args.run_edit_local_encoder_pullback_zt_with_various_prompt:
+        from diffusion_pullback_tpu.utils.datasets import get_prompt_list
+
+        for prompt in get_prompt_list(num_captions=args.num_local_basis or 5):
+            edit.run_edit_local_encoder_pullback_zt(
+                idx=args.various_prompt_sample_idx or args.sample_idx,
+                op="mid", block_idx=0, vis_num=4, vis_num_pc=2,
+                pca_rank=args.pca_rank or 2, edit_prompt=prompt,
+            )
 
     if args.run_edit_parallel_transport:
         edit.run_edit_parallel_transport(

@@ -110,3 +110,35 @@ def test_x_space_guidance_trajectory():
         np.testing.assert_allclose(
             np.asarray(traj[i + 1]), np.asarray(z), rtol=2e-4, atol=1e-5
         )
+
+
+def test_deepcache_interval_one_is_exact():
+    """interval=1 refreshes every step → identical to the plain sampler."""
+    from diffusion_pullback_tpu.samplers.deepcache import ddim_forward_deepcache
+
+    model, params, eps_fn = _tiny_eps_fn()
+    sched = DiffusionSchedule.linear()
+    grid = ddim_timestep_grid(8)
+    xT = jnp.asarray(np.random.default_rng(7).normal(size=(1, 16, 16, 3)),
+                     jnp.float32)
+    ref = ddim_forward(eps_fn, xT, sched, grid)
+    out = ddim_forward_deepcache(model, params, xT, sched, grid, interval=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=1e-4)
+
+
+def test_deepcache_reuse_runs_and_approximates():
+    from diffusion_pullback_tpu.samplers.deepcache import ddim_forward_deepcache
+
+    model, params, eps_fn = _tiny_eps_fn()
+    sched = DiffusionSchedule.linear()
+    grid = ddim_timestep_grid(8)
+    xT = jnp.asarray(np.random.default_rng(8).normal(size=(1, 16, 16, 3)),
+                     jnp.float32)
+    ref = ddim_forward(eps_fn, xT, sched, grid)
+    out = jax.jit(lambda p, z: ddim_forward_deepcache(
+        model, p, z, sched, grid, interval=3))(params, xT)
+    assert out.shape == ref.shape
+    # different from exact (reuse actually happened) but same scale
+    d = float(jnp.abs(out - ref).max())
+    assert 0 < d < float(jnp.abs(ref).max())

@@ -163,3 +163,13 @@ def test_sdxl_addition_embeddings():
     back = model.apply(params, h, state, tap,
                        method=UNet2DCondition.decode_with_state)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(back))
+
+
+def test_cond_intra_block_taps(sd_tiny):
+    model, params, x, t, ctx = sd_tiny
+    h_res = model.apply(params, x, t, ctx, TapPoint("down", 0, ("res", 0)),
+                        method=UNet2DCondition.encode)
+    h_attn = model.apply(params, x, t, ctx, TapPoint("down", 0, ("attn", 0)),
+                         method=UNet2DCondition.encode)
+    assert h_res.shape == h_attn.shape
+    assert float(jnp.abs(h_res - h_attn).max()) > 1e-7
