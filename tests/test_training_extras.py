@@ -130,3 +130,32 @@ def test_hybrid_objective_and_loss_aware_step():
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
     assert int(sampler.counts.sum()) == 4  # history recorded
+
+
+def test_gradient_accumulation_via_multisteps():
+    """Microbatching (vendored TrainLoop's forward_backward loop) is
+    optax.MultiSteps composed with the same train step: k sub-batches
+    accumulate before one parameter update."""
+    import optax
+
+    from diffusion_pullback_tpu.models import UNet2D, ddpm_tiny
+    from diffusion_pullback_tpu.training import create_train_state, make_train_step
+
+    model = UNet2D(ddpm_tiny(16))
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                        jnp.float32(0.0))
+    sched = DiffusionSchedule.linear()
+    opt = optax.MultiSteps(optax.sgd(1e-2), every_k_schedule=2)
+    state = create_train_state(params, opt)
+    step = make_train_step(lambda p, xt, t: model.apply(p, xt, t), sched, opt,
+                           ema_rate=0.0)
+    b = jnp.ones((2, 16, 16, 3)) * 0.1
+    s1, _ = jax.jit(step)(state, b, jax.random.key(1))
+    # first micro-step: gradients accumulated, params unchanged
+    d1 = max(jax.tree.leaves(jax.tree.map(
+        lambda a, c: float(jnp.abs(a - c).max()), s1.params, state.params)))
+    assert d1 == 0.0
+    s2, _ = jax.jit(step)(s1, b, jax.random.key(2))
+    d2 = max(jax.tree.leaves(jax.tree.map(
+        lambda a, c: float(jnp.abs(a - c).max()), s2.params, state.params)))
+    assert d2 > 0.0  # second micro-step applied the accumulated update
