@@ -84,8 +84,15 @@ class CLIPTextModel(nn.Module):
     config: CLIPTextConfig
 
     @nn.compact
-    def __call__(self, input_ids: jax.Array) -> jax.Array:
-        """(B, L) int32 token ids → (B, L, hidden) final hidden states."""
+    def __call__(self, input_ids: jax.Array, return_pooled: bool = False):
+        """(B, L) int32 token ids → (B, L, hidden) final hidden states.
+
+        ``return_pooled`` additionally returns the projected EOS-token
+        feature (the pooled text embedding SDXL's addition path consumes) —
+        (hidden, pooled) tuple; eos is taken as the argmax token id per the
+        CLIP convention (eos has the highest id in the CLIP vocab; the hash
+        tokenizer uses id 1 with pad 2, so we locate the first eos instead).
+        """
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
         b, s = input_ids.shape
@@ -101,7 +108,16 @@ class CLIPTextModel(nn.Module):
                 cfg.num_heads, cfg.intermediate_size, cfg.hidden_act,
                 dtype=dtype, precision=cfg.precision, name=f"layers_{i}",
             )(x, causal)
-        return nn.LayerNorm(dtype=dtype, name="final_layer_norm")(x)
+        hidden = nn.LayerNorm(dtype=dtype, name="final_layer_norm")(x)
+        if not return_pooled:
+            return hidden
+        eos_pos = jnp.argmax(
+            (input_ids == cfg.eos_token_id).astype(jnp.int32), axis=1
+        )
+        pooled = hidden[jnp.arange(b), eos_pos]
+        pooled = nn.Dense(cfg.hidden_size, use_bias=False, dtype=dtype,
+                          name="text_projection")(pooled)
+        return hidden, pooled
 
 
 # ---- tokenization ---------------------------------------------------------

@@ -227,6 +227,7 @@ class CLIPTextConfig:
     num_heads: int = 16
     max_length: int = 77
     hidden_act: str = "gelu"
+    eos_token_id: int = 49407
     dtype: str = "float32"
     precision: Optional[str] = None
 
@@ -247,7 +248,7 @@ def sd15_text_encoder() -> CLIPTextConfig:
 def clip_text_tiny() -> CLIPTextConfig:
     return CLIPTextConfig(
         vocab_size=128, hidden_size=16, intermediate_size=32,
-        num_layers=2, num_heads=2, max_length=8,
+        num_layers=2, num_heads=2, max_length=8, eos_token_id=1,
     )
 
 

@@ -62,15 +62,6 @@ def _torch_name_to_flax_path(name: str) -> Tuple[Tuple[str, ...], str]:
     return tuple(out), leaf
 
 
-def _is_conv_path(path: Tuple[str, ...]) -> bool:
-    last = path[-1]
-    return (
-        last.startswith("conv")
-        or last in ("downsamplers_0", "upsamplers_0")
-        or last == "conv_shortcut"
-    )
-
-
 def _is_norm_path(path: Tuple[str, ...]) -> bool:
     last = path[-1]
     return "norm" in last

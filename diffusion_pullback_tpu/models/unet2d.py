@@ -334,14 +334,11 @@ class UNet2D(nn.Module):
             skips = skips + res
         return h, skips
 
-    def _run_up(self, h, skips, emb, start_after: int, deterministic):
+    def _run_up(self, h, skips, emb, deterministic):
         n_res = self.config.layers_per_block + 1
-        # discard skip groups consumed by blocks <= start_after
-        for i, block in enumerate(self.up_blocks):
+        for block in self.up_blocks:
             res = skips[-n_res:]
             skips = skips[:-n_res]
-            if i <= start_after:
-                continue
             h = block(h, res, emb, deterministic)
         return h
 
@@ -356,7 +353,7 @@ class UNet2D(nn.Module):
         h = self.conv_in(x)
         h, skips = self._run_down(h, emb, None, deterministic)
         h = self.mid_block(h, emb, deterministic)
-        h = self._run_up(h, skips, emb, -1, deterministic)
+        h = self._run_up(h, skips, emb, deterministic)
         return self._head(h)
 
     def encode(self, x, t, tap: TapPoint, deterministic: bool = True):
@@ -411,9 +408,9 @@ class UNet2D(nn.Module):
                 h, res = self.down_blocks[i](h, emb, deterministic)
                 skips = skips + res
             h = self.mid_block(h, emb, deterministic)
-            h = self._run_up(h, skips, emb, -1, deterministic)
+            h = self._run_up(h, skips, emb, deterministic)
         elif tap.op == "mid":
-            h = self._run_up(h, skips, emb, -1, deterministic)
+            h = self._run_up(h, skips, emb, deterministic)
         else:  # up
             n_res = self.config.layers_per_block + 1
             for i in range(tap.block_idx + 1, len(self.up_blocks)):

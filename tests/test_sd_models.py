@@ -173,3 +173,18 @@ def test_cond_intra_block_taps(sd_tiny):
                          method=UNet2DCondition.encode)
     assert h_res.shape == h_attn.shape
     assert float(jnp.abs(h_res - h_attn).max()) > 1e-7
+
+
+def test_clip_pooled_output():
+    cfg = clip_text_tiny()
+    model = CLIPTextModel(cfg)
+    tok = HashTokenizer(cfg.vocab_size, cfg.max_length)
+    ids = jnp.asarray(tok(["short", "a longer test prompt"]))
+    params = model.init(jax.random.key(0), ids, return_pooled=True)
+    hidden, pooled = model.apply(params, ids, return_pooled=True)
+    assert hidden.shape == (2, 8, 16) and pooled.shape == (2, 16)
+    # pooled feature tracks the (per-prompt) eos position: differs per row
+    assert float(jnp.abs(pooled[0] - pooled[1]).max()) > 1e-6
+    # plain call still works without the projection params being used
+    hidden2 = model.apply(params, ids)
+    np.testing.assert_array_equal(np.asarray(hidden), np.asarray(hidden2))
