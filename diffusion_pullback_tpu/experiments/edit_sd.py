@@ -31,7 +31,7 @@ from ..models.unet2d import TapPoint
 from ..models.unet2d_condition import UNet2DCondition
 from ..models.vae import AutoencoderKL
 from ..ops.schedule import DiffusionSchedule, ddim_timestep_grid
-from ..samplers.ddim_loop import ddim_forward, ddim_invert
+from ..samplers.ddim_loop import ddim_forward, ddim_invert, make_ddim_step_fn
 from ..samplers.guidance import x_space_guidance_scan
 from ..utils.images import save_image_grid
 from ..utils.logging import JSONLLogger
@@ -54,6 +54,9 @@ class SDExperimentConfig:
     x_space_guidance_scale: float = 1.0
     x_space_guidance_num_step: int = 16
     pca_rank: int = 2
+    # 'scan' fuses whole trajectories into one XLA program; 'host' re-uses a
+    # single compiled step per timestep (fast compile for SD/SDXL-size nets)
+    loop_impl: str = "scan"
     pullback_min_iter: int = 10
     pullback_max_iter: int = 50
     pullback_atol: float = 1e-4
@@ -155,22 +158,51 @@ class EditStableDiffusion:
         )
         return enc(self.vae_params, x0)
 
+    def _host_step(self):
+        return self._jitted(
+            "host_step",
+            lambda p, emb, z, t, tn: make_ddim_step_fn(
+                self.eps_with(p, emb), self.schedule
+            )(z, t, tn),
+        )
+
     def run_DDIMinversion(self, idx: int) -> jax.Array:
         """image → z0 (VAE, ×scaling) → zT (edit.py:112-183)."""
         z0 = self.encode_image(idx)
-        invert = self._jitted(
-            "invert",
-            lambda p, emb, z: ddim_invert(
-                self.eps_with(p, emb), z, self.schedule, self.inv_grid
-            ),
-        )
         t0 = time.perf_counter()
-        zT = invert(self.unet_params, self.inv_prompt_emb, z0)
+        if self.cfg.loop_impl == "host":
+            step = self._host_step()
+            zT = z0
+            for t, tn in zip(self.inv_grid.timesteps,
+                             self.inv_grid.timesteps_next):
+                zT = step(self.unet_params, self.inv_prompt_emb, zT, t, tn)
+        else:
+            invert = self._jitted(
+                "invert",
+                lambda p, emb, z: ddim_invert(
+                    self.eps_with(p, emb), z, self.schedule, self.inv_grid
+                ),
+            )
+            zT = invert(self.unet_params, self.inv_prompt_emb, z0)
         zT.block_until_ready()
         self.log.log("sd_ddim_inversion", idx=idx, seconds=time.perf_counter() - t0)
         return zT
 
     def DDIMforwardsteps(self, zt, t_start_idx, t_end_idx=None):
+        if self.cfg.loop_impl == "host":
+            end = self.fwd_grid.num_steps if t_end_idx is None else t_end_idx
+            step = self._jitted(
+                f"host_fwd_step_{zt.shape[0]}",
+                lambda p, fe, ne, z, t, tn: make_ddim_step_fn(
+                    self.eps_with(p, fe, ne), self.schedule
+                )(z, t, tn),
+            )
+            for i in range(t_start_idx, end):
+                zt = step(self.unet_params, self.for_prompt_emb,
+                          self.neg_prompt_emb, zt,
+                          self.fwd_grid.timesteps[i],
+                          self.fwd_grid.timesteps_next[i])
+            return zt
         key = (t_start_idx, t_end_idx, zt.shape[0])
         fn = self._jitted(
             f"fwd_{key}",

@@ -124,3 +124,34 @@ def ddim_forward(
         etas = jnp.asarray(etas_np) if (etas_np > 0).any() else None
     x, _ = ddim_scan(eps_fn, xT, schedule, ts, tn, etas=etas, key=key)
     return x
+
+
+def make_ddim_step_fn(eps_fn: EpsFn, schedule: DiffusionSchedule):
+    """One fused (ε-eval + DDIM update) step for host-driven loops."""
+
+    def step(x, t, t_next):
+        et = eps_fn(x, t)
+        return ddim_step(
+            et, x, alpha_bar(schedule, t), alpha_bar(schedule, t_next)
+        ).prev_sample
+
+    return step
+
+
+def ddim_loop_host(
+    step_fn,
+    x: jax.Array,
+    timesteps,
+    timesteps_next,
+) -> jax.Array:
+    """Host-driven traversal: ONE compiled step re-dispatched per (t, t_next)
+    pair (t passed as a traced array → a single compilation total).
+
+    Trade-off vs the fused `lax.scan`: ~ms-scale dispatch overhead per step,
+    but compile time equals a single forward pass — the right choice for
+    SD/SDXL-sized U-Nets where the scan program takes many minutes to build
+    through a remote compiler, and for interactive/debug use.
+    """
+    for t, tn in zip(timesteps, timesteps_next):
+        x = step_fn(x, t, tn)
+    return x

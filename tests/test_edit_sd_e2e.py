@@ -5,6 +5,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from diffusion_pullback_tpu.experiments import (
@@ -95,3 +96,19 @@ def test_sd_cfg_inversion(sd_driver):
     assert zT.shape == (1, 8, 8, 4)
     out = sd_driver.DDIMforwardsteps(zT, 0)
     assert out.shape == zT.shape
+
+
+def test_host_loop_matches_scan(sd_driver):
+    """loop_impl='host' (one compiled step re-dispatched) must match the
+    fused scan trajectory."""
+    z_scan = sd_driver.run_DDIMinversion(idx=0)
+    sd_driver.cfg.loop_impl = "host"
+    sd_driver._jit_cache.clear()
+    z_host = sd_driver.run_DDIMinversion(idx=0)
+    np.testing.assert_allclose(np.asarray(z_host), np.asarray(z_scan),
+                               rtol=2e-4, atol=1e-5)
+    out_host = sd_driver.DDIMforwardsteps(z_host, 0)
+    sd_driver.cfg.loop_impl = "scan"
+    out_scan = sd_driver.DDIMforwardsteps(z_scan, 0)
+    np.testing.assert_allclose(np.asarray(out_host), np.asarray(out_scan),
+                               rtol=2e-3, atol=1e-4)
