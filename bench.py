@@ -12,10 +12,19 @@ against the north-star budget of 10 s end-to-end.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# persistent compilation cache: repeat bench/CLI runs skip the multi-minute
+# remote compiles (cache keyed on program hash; safe across processes)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import jax.numpy as jnp
 
 from diffusion_pullback_tpu.geometry import local_pullback

@@ -118,6 +118,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pca_rank", type=int, default=2)
     p.add_argument("--pullback_chunk_size", type=int, default=0,
                    help="probe-axis chunking for memory-bound configs; 0=off")
+    p.add_argument("--loop_impl", type=str, default="scan",
+                   choices=["scan", "host"],
+                   help="'scan' fuses trajectories into one XLA program; "
+                        "'host' re-dispatches one compiled step (fast "
+                        "compile for SD/SDXL-scale nets)")
     p.add_argument("--matmul_precision", type=str, default="",
                    help="''=backend default, 'highest'=f32 passes")
     p.add_argument("--data_root", type=str, default="")

@@ -14,6 +14,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import jax.numpy as jnp
 
 from diffusion_pullback_tpu.utils.config import parse_args, preset
@@ -176,6 +182,7 @@ def build_sd(args):
         x_space_guidance_scale=args.x_space_guidance_scale or 1.0,
         x_space_guidance_num_step=args.x_space_guidance_num_step or 16,
         pca_rank=args.pca_rank,
+        loop_impl=args.loop_impl,
         pullback_chunk_size=args.pullback_chunk_size or None,
         result_folder=args.result_folder,
         obs_folder=args.obs_folder,
