@@ -374,6 +374,88 @@ class EditStableDiffusion:
             )
         return names
 
+    def run_sample_encoder_local_tangent_space_zt_batched(
+        self,
+        idx: int,
+        op: str = "mid",
+        block_idx: int = 0,
+        pca_rank: int = 50,
+        t_grid=None,
+        sequential: bool = True,
+    ):
+        """One-jit harvest over the timestep grid (SD flavour of the uncond
+        batched sweep): trajectory collected by the inversion-side scan, the
+        per-t pullbacks mapped via lax.map/vmap — replaces the reference's
+        outer Python loops (main.py:61-76 EDIT_T × prompts grid)."""
+        import numpy as _np
+
+        from ..samplers.ddim_loop import ddim_scan
+
+        cfg = self.cfg
+        tap = TapPoint(op, block_idx)
+        t_grid = t_grid or tuple(_np.linspace(0.1, 1.0, 10).round(2))
+        t_indices = tuple(
+            int(jnp.argmin(jnp.abs(self.fwd_grid.timesteps - et * 1000.0)))
+            for et in t_grid
+        )
+        names = [
+            basis_name(cfg.dataset_name, idx, et, op, block_idx, cfg.seed,
+                       edit_prompt=cfg.edit_prompt)
+            for et in t_grid
+        ]
+        if all(self.cache.load(n) is not None for n in names):
+            return {et: self.cache.path(n) for et, n in zip(t_grid, names)}
+
+        zT = self.run_DDIMinversion(idx)
+
+        def sweep(p, fe, ne, ee, z, key):
+            eps = self.eps_with(p, fe, ne)
+            _, traj = ddim_scan(
+                eps, z, self.schedule, self.fwd_grid.timesteps,
+                self.fwd_grid.timesteps_next, collect_trajectory=True,
+            )
+            traj = jnp.concatenate([z[None], traj[:-1]], axis=0)
+            zts = jnp.stack([traj[i] for i in t_indices])
+            ts = jnp.stack([self.fwd_grid.timesteps[i] for i in t_indices])
+            keys = jax.random.split(key, len(t_indices))
+
+            def pull_one(args):
+                zt, tt, kk = args
+                return local_pullback(
+                    lambda q: self.unet.apply(
+                        p, q, tt, ee, tap, method=UNet2DCondition.encode
+                    ),
+                    zt, kk, pca_rank=pca_rank,
+                    min_iter=self.cfg.pullback_min_iter,
+                    max_iter=self.cfg.pullback_max_iter,
+                    atol=self.cfg.pullback_atol,
+                    chunk_size=self.cfg.pullback_chunk_size,
+                )
+
+            if sequential:
+                return jax.lax.map(pull_one, (zts, ts, keys))
+            return jax.vmap(lambda a, b, c: pull_one((a, b, c)))(zts, ts, keys)
+
+        run = self._jitted(
+            f"sd_harvest_{tap}_{pca_rank}_{t_indices}_{sequential}", sweep
+        )
+        t0 = time.perf_counter()
+        res = run(self.unet_params, self.for_prompt_emb, self.neg_prompt_emb,
+                  self.edit_prompt_emb, zT, jax.random.key(cfg.seed))
+        jax.block_until_ready(res)
+        self.log.log(
+            "sd_tangent_harvest_batched",
+            num_t=len(t_grid),
+            seconds=time.perf_counter() - t0,
+        )
+        out = {}
+        for i, (et, name) in enumerate(zip(t_grid, names)):
+            out[et] = self.cache.save(
+                name, np.asarray(res.u[i]), np.asarray(res.s[i]),
+                np.asarray(res.vT[i]),
+            )
+        return out
+
     def run_sample_encoder_local_tangent_space_zt(
         self, idx: int, op="mid", block_idx=0, pca_rank=50, h_t=1.0,
         edit_prompt: Optional[str] = None,

@@ -112,3 +112,17 @@ def test_host_loop_matches_scan(sd_driver):
     out_scan = sd_driver.DDIMforwardsteps(z_scan, 0)
     np.testing.assert_allclose(np.asarray(out_host), np.asarray(out_scan),
                                rtol=2e-3, atol=1e-4)
+
+
+def test_sd_batched_harvest(sd_driver):
+    out = sd_driver.run_sample_encoder_local_tangent_space_zt_batched(
+        idx=1, pca_rank=2, t_grid=(0.4, 0.8)
+    )
+    assert len(out) == 2
+    for p in out.values():
+        assert os.path.exists(p)
+    # second call is fully cached
+    out2 = sd_driver.run_sample_encoder_local_tangent_space_zt_batched(
+        idx=1, pca_rank=2, t_grid=(0.4, 0.8)
+    )
+    assert out2.keys() == out.keys()
