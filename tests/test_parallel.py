@@ -150,3 +150,36 @@ def test_checkpoint_save_restore(tmp_path):
     import os as _os
     names = sorted(_os.listdir(tmp_path / "ckpt"))
     assert names == ["step_00000004", "step_00000005"]
+
+
+def test_2d_mesh_dp_probe_harvest():
+    """Sweep axis over 'dp' AND probe axis over 'probe' simultaneously on a
+    4x2 mesh: vmapped pullbacks whose internal probe iterate is sharded."""
+    from jax.sharding import PartitionSpec as P2
+
+    f, _ = _mlp()
+    mesh = make_mesh(("dp", "probe"), shape={"dp": 4, "probe": 2})
+    repl = NamedSharding(mesh, P2())
+    dp_sh = NamedSharding(mesh, P2("dp"))
+
+    def pull_one(xi, key):
+        res = local_pullback(f, xi[None], key, pca_rank=4, min_iter=3,
+                             max_iter=5, atol=0.0)
+        # constrain the probe axis of the result over the 'probe' mesh axis
+        return res._replace(
+            vT=jax.lax.with_sharding_constraint(
+                res.vT, NamedSharding(mesh, P2("probe", None))
+            )
+        )
+
+    xs = jax.random.normal(jax.random.key(7), (4, 24))
+    keys = jax.random.split(jax.random.key(8), 4)
+    run = jax.jit(jax.vmap(pull_one), in_shardings=(dp_sh, dp_sh))
+    with mesh:
+        out = run(xs, keys)
+    jax.block_until_ready(out)
+    ref = jax.vmap(lambda x, k: local_pullback(
+        f, x[None], k, pca_rank=4, min_iter=3, max_iter=5, atol=0.0))(xs, keys)
+    np.testing.assert_allclose(np.asarray(out.s), np.asarray(ref.s), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.vT), np.asarray(ref.vT), atol=1e-4)
+    assert len(out.vT.sharding.device_set) == 8  # uses the whole mesh
