@@ -102,6 +102,7 @@ class EditStableDiffusion:
         )
 
         # prompt embeddings: for / neg / null / inv / edit (edit.py:65-75)
+        t0 = time.perf_counter()
         embed = jax.jit(lambda ids: self.text_model.apply(self.text_params, ids))
         get_emb = lambda p: embed(jnp.asarray(self.tokenizer([p])))
         self.for_prompt_emb = get_emb(config.for_prompt)
@@ -109,6 +110,8 @@ class EditStableDiffusion:
         self.null_prompt_emb = get_emb("")
         self.inv_prompt_emb = get_emb(config.inv_prompt)
         self.edit_prompt_emb = get_emb(config.edit_prompt)
+        jax.block_until_ready(self.edit_prompt_emb)
+        self.log.log("sd_prompts_embedded", seconds=time.perf_counter() - t0)
 
         self._jit_cache = {}
 
@@ -169,13 +172,19 @@ class EditStableDiffusion:
     def run_DDIMinversion(self, idx: int) -> jax.Array:
         """image → z0 (VAE, ×scaling) → zT (edit.py:112-183)."""
         z0 = self.encode_image(idx)
+        jax.block_until_ready(z0)
+        self.log.log("sd_vae_encoded", idx=idx)
         t0 = time.perf_counter()
         if self.cfg.loop_impl == "host":
             step = self._host_step()
             zT = z0
-            for t, tn in zip(self.inv_grid.timesteps,
-                             self.inv_grid.timesteps_next):
+            for i, (t, tn) in enumerate(zip(self.inv_grid.timesteps,
+                                            self.inv_grid.timesteps_next)):
                 zT = step(self.unet_params, self.inv_prompt_emb, zT, t, tn)
+                if i == 0:
+                    zT.block_until_ready()
+                    self.log.log("sd_host_step_compiled",
+                                 seconds=time.perf_counter() - t0)
         else:
             invert = self._jitted(
                 "invert",
