@@ -103,8 +103,12 @@ class EditStableDiffusion:
 
         # prompt embeddings: for / neg / null / inv / edit (edit.py:65-75)
         t0 = time.perf_counter()
-        embed = jax.jit(lambda ids: self.text_model.apply(self.text_params, ids))
-        get_emb = lambda p: embed(jnp.asarray(self.tokenizer([p])))
+        embed = jax.jit(
+            lambda tp, ids: self.text_model.apply(tp, ids)
+        )
+        get_emb = lambda p: embed(
+            self.text_params, jnp.asarray(self.tokenizer([p]))
+        )
         self.for_prompt_emb = get_emb(config.for_prompt)
         self.neg_prompt_emb = get_emb(config.neg_prompt)
         self.null_prompt_emb = get_emb("")
@@ -283,8 +287,12 @@ class EditStableDiffusion:
         cfg = self.cfg
         if edit_prompt is not None:
             cfg.edit_prompt = edit_prompt
-            embed = jax.jit(lambda ids: self.text_model.apply(self.text_params, ids))
-            self.edit_prompt_emb = embed(jnp.asarray(self.tokenizer([edit_prompt])))
+            embed = jax.jit(
+            lambda tp, ids: self.text_model.apply(tp, ids)
+        )
+            self.edit_prompt_emb = embed(
+                self.text_params, jnp.asarray(self.tokenizer([edit_prompt]))
+            )
         pca_rank = pca_rank or cfg.pca_rank
         vis_num = vis_num or cfg.vis_num
         vis_num_pc = vis_num_pc or cfg.vis_num_pc
@@ -473,8 +481,12 @@ class EditStableDiffusion:
         cfg = self.cfg
         tap = TapPoint(op, block_idx)
         if edit_prompt is not None:
-            embed = jax.jit(lambda ids: self.text_model.apply(self.text_params, ids))
-            self.edit_prompt_emb = embed(jnp.asarray(self.tokenizer([edit_prompt])))
+            embed = jax.jit(
+            lambda tp, ids: self.text_model.apply(tp, ids)
+        )
+            self.edit_prompt_emb = embed(
+                self.text_params, jnp.asarray(self.tokenizer([edit_prompt]))
+            )
             cfg.edit_prompt = edit_prompt
         name = basis_name(
             cfg.dataset_name, idx, h_t, op, block_idx, cfg.seed,
