@@ -260,13 +260,17 @@ def main(argv=None):
         )
 
     if args.run_ddim_forward:
-        edit.run_ddim_forward(
+        fwd = getattr(edit, "run_DDIMforward", None) or edit.run_ddim_forward
+        fwd(
             num_samples=5,
             save_as=os.path.join(args.result_folder, "DDIMforward.png"),
         )
 
     if args.run_ddim_inversion:
-        edit.run_ddim_inversion(idx=args.sample_idx)
+        # reference method name differs per family (run_DDIMinversion on the
+        # SD driver, run_ddim_inversion on uncond)
+        inv = getattr(edit, "run_DDIMinversion", None) or edit.run_ddim_inversion
+        inv(idx=args.sample_idx)
 
 
 if __name__ == "__main__":
