@@ -581,6 +581,8 @@ class EditUncondDiffusion:
         pca_rank: int = 50,
         t_grid: Optional[Tuple[float, ...]] = None,
         sequential: bool = True,
+        fix_xt: bool = False,
+        fix_t: bool = False,
     ):
         """The throughput version of basis harvesting: ONE jitted program
         computes the whole timestep sweep — the forward trajectory is
@@ -588,7 +590,13 @@ class EditUncondDiffusion:
         (timestep) axis (lax.map when ``sequential``, else vmap). This is the
         TPU-native replacement for the reference's outer Python sweep
         (main.py:78-91 × edit.py:1516-1599), where every t re-ran its own
-        inversion + partial forward + chunked pullback."""
+        inversion + partial forward + chunked pullback.
+
+        Ablations (reference edit.py:1571-1578): ``fix_xt`` evaluates every
+        basis at the first grid point's latent while t varies (isolates the
+        timestep-embedding direction of the metric); ``fix_t`` varies the
+        latent along the trajectory but pins the network timestep (isolates
+        the latent direction)."""
         from ..samplers.ddim_loop import ddim_scan
 
         cfg = self.cfg
@@ -598,8 +606,10 @@ class EditUncondDiffusion:
             int(jnp.argmin(jnp.abs(self.fwd_grid.timesteps - et * 1000.0)))
             for et in t_grid
         )
+        suffix = ("-fix_xt" if fix_xt else "") + ("-fix_t" if fix_t else "")
         names = [
             basis_name(cfg.dataset_name, idx, et, op, block_idx, cfg.seed)
+            + suffix
             for et in t_grid
         ]
         if all(self.cache.load(n) is not None for n in names):
@@ -618,6 +628,10 @@ class EditUncondDiffusion:
             traj = jnp.concatenate([x[None], traj[:-1]], axis=0)
             xts = jnp.stack([traj[i] for i in t_indices])      # (k, 1, H, W, C)
             ts = jnp.stack([self.fwd_grid.timesteps[i] for i in t_indices])
+            if fix_xt:
+                xts = jnp.broadcast_to(xts[:1], xts.shape)
+            if fix_t:
+                ts = jnp.broadcast_to(ts[:1], ts.shape)
             keys = jax.random.split(key, len(t_indices))
 
             def pull_one(args):
@@ -639,7 +653,7 @@ class EditUncondDiffusion:
             )
 
         run = self._jitted(
-            f"harvest_{tap}_{pca_rank}_{t_indices}_{sequential}", sweep
+            f"harvest_{tap}_{pca_rank}_{t_indices}_{sequential}{suffix}", sweep
         )
         t0 = time.perf_counter()
         res = run(self.params, xT, jax.random.key(cfg.seed))

@@ -67,6 +67,8 @@ def attention(
     """
     if impl == "xla":
         return xla_attention(q, k, v, scale, precision)
+    if impl == "blockwise":
+        return blockwise_attention(q, k, v, scale, precision=precision)
     if impl in ("flash", "auto"):
         try:
             from .pallas.flash_attention import flash_attention
@@ -79,3 +81,62 @@ def attention(
             pass
         return xla_attention(q, k, v, scale, precision)
     raise ValueError(f"unknown attention impl: {impl!r}")
+
+
+def blockwise_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    block_k: int = 1024,
+    precision=None,
+) -> jax.Array:
+    """Memory-efficient attention in pure XLA: lax.scan over K/V blocks with
+    an online-softmax carry — logits never materialise beyond (Sq, block_k).
+
+    This is the *differentiation-friendly* long-sequence path: because it is
+    built from ordinary jnp ops, JAX derives forward-mode (jvp), reverse-mode
+    (vjp) and the linear transpose automatically — exactly what the pullback
+    machinery needs at SDXL sequence lengths, where the reference must
+    disable its fused kernel to keep jacfwd alive (utils.py:322-323) and a
+    Pallas kernel would need hand-written jvp/transpose rules.
+
+    Memory: O(Sq·block_k + Sq·D) instead of O(Sq·Sk).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if sk % block_k != 0:
+        if sk <= block_k:
+            return xla_attention(q, k, v, scale, precision)
+        raise ValueError(f"sk={sk} not divisible by block_k={block_k}")
+    nk = sk // block_k
+    dtype = q.dtype
+
+    kb = k.reshape(b, nk, block_k, h, d).transpose(1, 0, 2, 3, 4)
+    vb = v.reshape(b, nk, block_k, h, d).transpose(1, 0, 2, 3, 4)
+
+    def body(carry, kv):
+        m, l, acc = carry                    # (b,h,sq,1), (b,h,sq,1), (b,sq,h,d)
+        kblk, vblk = kv                      # (b, block_k, h, d)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, kblk,
+                       preferred_element_type=jnp.float32,
+                       precision=precision) * scale
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)               # (b,h,sq,block_k) f32
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jnp.einsum("bhqk,bkhd->bqhd", p.astype(dtype), vblk,
+                        preferred_element_type=jnp.float32,
+                        precision=precision)
+        acc_new = acc * corr.transpose(0, 2, 1, 3) + pv
+        return (m_new, l_new, acc_new), None
+
+    init = (
+        jnp.full((b, h, sq, 1), -jnp.inf, jnp.float32),
+        jnp.zeros((b, h, sq, 1), jnp.float32),
+        jnp.zeros((b, sq, h, d), jnp.float32),
+    )
+    (m, l, acc), _ = jax.lax.scan(body, init, (kb, vb))
+    return (acc / l.transpose(0, 2, 1, 3)).astype(dtype)

@@ -240,9 +240,15 @@ def main(argv=None):
     if args.run_sample_encoder_local_tangent_space_zt:
         edit_t_list = [round(t, 2) for t in
                        [0.05 * i for i in range(1, 21)]]
-        edit.run_sample_encoder_local_tangent_space_xt(
+        harvest = getattr(
+            edit, "run_sample_encoder_local_tangent_space_xt_batched", None
+        ) or edit.run_sample_encoder_local_tangent_space_zt_batched
+        kwargs = {}
+        if not args.is_stable_diffusion:
+            kwargs = dict(fix_xt=args.fix_xt, fix_t=args.fix_t)
+        harvest(
             idx=args.sample_idx, op="mid", block_idx=0, pca_rank=50,
-            t_grid=tuple(reversed(edit_t_list)),
+            t_grid=tuple(reversed(edit_t_list)), **kwargs,
         )
 
     if args.run_edit_global_frechet_mean_zt:

@@ -117,3 +117,29 @@ def test_batched_harvest_matches_loop(driver):
                                    abs(float(res.s[0])), rtol=2e-2)
         cos0 = abs(float(np.dot(vT_b[0], np.asarray(res.vT[0]))))
         assert cos0 > 0.99, cos0
+
+
+def test_harvest_ablations(driver):
+    """fix_xt / fix_t ablations (reference edit.py:1571-1578): fix_xt bases
+    differ from the unablated ones at later t; fix_t likewise."""
+    base = driver.run_sample_encoder_local_tangent_space_xt_batched(
+        idx=0, pca_rank=2, t_grid=(0.4, 0.8)
+    )
+    fx = driver.run_sample_encoder_local_tangent_space_xt_batched(
+        idx=0, pca_rank=2, t_grid=(0.4, 0.8), fix_xt=True
+    )
+    ft = driver.run_sample_encoder_local_tangent_space_xt_batched(
+        idx=0, pca_rank=2, t_grid=(0.4, 0.8), fix_t=True
+    )
+    assert set(base.values()) != set(fx.values()) != set(ft.values())
+    import numpy as np
+    from diffusion_pullback_tpu.experiments import basis_name
+
+    # at the later grid point (index 1 in t_grid ordering → t=0.8 differs
+    # from the pinned first point t=0.4), the ablated basis must differ
+    name_b = basis_name(driver.cfg.dataset_name, 0, 0.8, "mid", 0, 0)
+    _, s_b, _ = driver.cache.load(name_b)
+    _, s_fx, _ = driver.cache.load(name_b + "-fix_xt")
+    _, s_ft, _ = driver.cache.load(name_b + "-fix_t")
+    assert not np.allclose(s_b, s_fx, rtol=1e-3)
+    assert not np.allclose(s_b, s_ft, rtol=1e-3)

@@ -48,3 +48,42 @@ def test_vjp_matches_xla():
     g_xla = jax.grad(f_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_flash, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_blockwise_matches_xla_and_is_differentiable_both_modes():
+    from diffusion_pullback_tpu.ops.attention import blockwise_attention
+
+    kq, kk, kv = jax.random.split(jax.random.key(2), 3)
+    q = jax.random.normal(kq, (1, 64, 2, 16), jnp.float32)
+    k = jax.random.normal(kk, (1, 128, 2, 16), jnp.float32)
+    v = jax.random.normal(kv, (1, 128, 2, 16), jnp.float32)
+    ref = xla_attention(q, k, v)
+    out = blockwise_attention(q, k, v, block_k=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # forward-mode (the pullback requirement) matches xla's jvp
+    dq = jax.random.normal(jax.random.key(3), q.shape, jnp.float32)
+    _, jvp_b = jax.jvp(lambda qq: blockwise_attention(qq, k, v, block_k=32),
+                       (q,), (dq,))
+    _, jvp_x = jax.jvp(lambda qq: xla_attention(qq, k, v), (q,), (dq,))
+    np.testing.assert_allclose(np.asarray(jvp_b), np.asarray(jvp_x), atol=3e-5)
+
+    # linearize + transpose (the exact pullback pattern)
+    _, lin = jax.linearize(lambda qq: blockwise_attention(qq, k, v, block_k=32), q)
+    u = lin(dq)
+    (w,) = jax.linear_transpose(lin, q)(u)
+    assert float(jnp.vdot(u, u)) == pytest.approx(float(jnp.vdot(w, dq)), rel=1e-4)
+
+    # reverse-mode matches too
+    g_b = jax.grad(lambda qq: blockwise_attention(qq, k, v, block_k=32).sum())(q)
+    g_x = jax.grad(lambda qq: xla_attention(qq, k, v).sum())(q)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_x), atol=3e-5)
+
+
+def test_blockwise_small_seq_falls_back():
+    from diffusion_pullback_tpu.ops.attention import blockwise_attention
+
+    q = jax.random.normal(jax.random.key(4), (1, 8, 1, 8), jnp.float32)
+    out = blockwise_attention(q, q, q, block_k=1024)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xla_attention(q, q, q)),
+                               atol=1e-6)
