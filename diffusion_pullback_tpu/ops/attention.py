@@ -107,10 +107,15 @@ def blockwise_attention(
         scale = q.shape[-1] ** -0.5
     b, sq, h, d = q.shape
     sk = k.shape[1]
+    if sk <= block_k:
+        return xla_attention(q, k, v, scale, precision)
     if sk % block_k != 0:
-        if sk <= block_k:
-            return xla_attention(q, k, v, scale, precision)
-        raise ValueError(f"sk={sk} not divisible by block_k={block_k}")
+        # largest divisor of sk not exceeding the requested block size keeps
+        # the scan uniform without masking/padding
+        bk = block_k
+        while sk % bk:
+            bk -= 1
+        block_k = bk
     nk = sk // block_k
     dtype = q.dtype
 

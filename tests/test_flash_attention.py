@@ -87,3 +87,15 @@ def test_blockwise_small_seq_falls_back():
     out = blockwise_attention(q, q, q, block_k=1024)
     np.testing.assert_allclose(np.asarray(out), np.asarray(xla_attention(q, q, q)),
                                atol=1e-6)
+
+
+def test_blockwise_non_divisible_seq():
+    from diffusion_pullback_tpu.ops.attention import blockwise_attention
+
+    kq, kk, kv = jax.random.split(jax.random.key(9), 3)
+    q = jax.random.normal(kq, (1, 48, 1, 8), jnp.float32)
+    k = jax.random.normal(kk, (1, 144, 1, 8), jnp.float32)  # 144 % 64 != 0
+    v = jax.random.normal(kv, (1, 144, 1, 8), jnp.float32)
+    out = blockwise_attention(q, k, v, block_k=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xla_attention(q, k, v)),
+                               atol=2e-5)
