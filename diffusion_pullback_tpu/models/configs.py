@@ -111,6 +111,7 @@ class UNet2DConditionConfig:
     addition_embed_dim: Optional[int] = None       # pooled-text dim (1280)
     addition_time_embed_dim: Optional[int] = None  # per-time_id fourier dim (256)
     num_time_ids: int = 6
+    remat_transformer: bool = False  # checkpoint transformer blocks (SDXL)
     dtype: str = "float32"
     precision: Optional[str] = None
     attn_impl: str = "xla"

@@ -118,6 +118,8 @@ class Transformer2D(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     attn_impl: str = "xla"
+    remat: bool = False  # checkpoint each transformer block (deep stacks /
+    #                      Jacobian work at SDXL scale; trades FLOPs for HBM)
 
     @nn.compact
     def __call__(self, x, context):
@@ -134,8 +136,10 @@ class Transformer2D(nn.Module):
             x = nn.Conv(inner, (1, 1), dtype=self.dtype,
                         precision=self.precision, name="proj_in")(x)
             x = x.reshape(b, h * w, inner)
+        Block = (nn.remat(BasicTransformerBlock) if self.remat
+                 else BasicTransformerBlock)
         for i in range(self.depth):
-            x = BasicTransformerBlock(
+            x = Block(
                 heads=self.heads, head_dim=self.head_dim, dtype=self.dtype,
                 precision=self.precision, attn_impl=self.attn_impl,
                 name=f"transformer_blocks_{i}",

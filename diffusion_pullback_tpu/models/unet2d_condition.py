@@ -65,6 +65,7 @@ class CrossAttnDownBlock(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     attn_impl: str = "xla"
+    remat_transformer: bool = False
 
     @nn.compact
     def __call__(self, x, temb, context, deterministic=True, stop_at=None):
@@ -82,6 +83,7 @@ class CrossAttnDownBlock(nn.Module):
                 use_linear_projection=self.use_linear_projection,
                 norm_num_groups=self.norm_num_groups, dtype=self.dtype,
                 precision=self.precision, attn_impl=self.attn_impl,
+                remat=self.remat_transformer,
                 name=f"attentions_{i}",
             )(x, context)
             if stop_at == ("attn", i):
@@ -135,6 +137,7 @@ class CrossAttnUpBlock(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     attn_impl: str = "xla"
+    remat_transformer: bool = False
 
     @nn.compact
     def __call__(self, x, res_samples, temb, context, deterministic=True):
@@ -152,6 +155,7 @@ class CrossAttnUpBlock(nn.Module):
                 use_linear_projection=self.use_linear_projection,
                 norm_num_groups=self.norm_num_groups, dtype=self.dtype,
                 precision=self.precision, attn_impl=self.attn_impl,
+                remat=self.remat_transformer,
                 name=f"attentions_{i}",
             )(x, context)
         if self.add_upsample:
@@ -199,6 +203,7 @@ class CrossAttnMidBlock(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     attn_impl: str = "xla"
+    remat_transformer: bool = False
 
     @nn.compact
     def __call__(self, x, temb, context, deterministic=True):
@@ -213,6 +218,7 @@ class CrossAttnMidBlock(nn.Module):
             use_linear_projection=self.use_linear_projection,
             norm_num_groups=self.norm_num_groups, dtype=self.dtype,
             precision=self.precision, attn_impl=self.attn_impl,
+            remat=self.remat_transformer,
             name="attentions_0",
         )(x, context)
         x = rb("resnets_1")(x, temb, deterministic)
@@ -253,7 +259,8 @@ class UNet2DCondition(nn.Module):
                     heads=cfg.attention_heads[i], head_dim=cfg.attention_head_dim,
                     depth=cfg.transformer_depth[i],
                     use_linear_projection=cfg.use_linear_projection,
-                    attn_impl=cfg.attn_impl, **common,
+                    attn_impl=cfg.attn_impl,
+                    remat_transformer=cfg.remat_transformer, **common,
                 ))
             else:
                 down.append(PlainDownBlock(**common))
@@ -267,6 +274,7 @@ class UNet2DCondition(nn.Module):
             norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
             dropout=cfg.dropout, dtype=dtype, precision=precision,
             attn_impl=cfg.attn_impl,
+            remat_transformer=cfg.remat_transformer,
         )
 
         rev_ch = tuple(reversed(cfg.block_out_channels))
@@ -290,7 +298,8 @@ class UNet2DCondition(nn.Module):
                     heads=rev_heads[i], head_dim=cfg.attention_head_dim,
                     depth=rev_depth[i],
                     use_linear_projection=cfg.use_linear_projection,
-                    attn_impl=cfg.attn_impl, **common,
+                    attn_impl=cfg.attn_impl,
+                    remat_transformer=cfg.remat_transformer, **common,
                 ))
             else:
                 up.append(PlainUpBlock(**common))
