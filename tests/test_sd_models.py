@@ -188,3 +188,28 @@ def test_clip_pooled_output():
     # plain call still works without the projection params being used
     hidden2 = model.apply(params, ids)
     np.testing.assert_array_equal(np.asarray(hidden), np.asarray(hidden2))
+
+
+def test_remat_transformer_identical_outputs():
+    """remat_transformer changes memory behaviour only — outputs are
+    bit-identical with the same params."""
+    import dataclasses
+
+    from diffusion_pullback_tpu.models import sdxl_tiny_unet
+
+    cfg = sdxl_tiny_unet(8)
+    m = UNet2DCondition(cfg)
+    mr = UNet2DCondition(dataclasses.replace(cfg, remat_transformer=True))
+    x = jnp.ones((1, 8, 8, 4)) * 0.1
+    ctx = jnp.ones((1, 7, 16)) * 0.1
+    te, tids = jnp.ones((1, 8)), jnp.ones((1, 6))
+    t = jnp.float32(5.0)
+    p = m.init(jax.random.key(0), x, t, ctx, added_cond=(te, tids))
+    a = m.apply(p, x, t, ctx, added_cond=(te, tids))
+    b = mr.apply(p, x, t, ctx, added_cond=(te, tids))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and jvp works through the remat blocks (pullback compatibility)
+    f = lambda q: mr.apply(p, q, t, ctx, TapPoint("mid", 0),
+                           added_cond=(te, tids), method=UNet2DCondition.encode)
+    _, lin = jax.linearize(f, x)
+    assert lin(jnp.ones_like(x)).shape == f(x).shape
