@@ -130,3 +130,26 @@ def test_fourier_smoothing_preserves_mean_scale():
                                  fft_smoothing=True)
     assert out.shape == (8, 8, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_basis_comparison_acceptance():
+    from diffusion_pullback_tpu.geometry.metrics import (
+        compare_bases,
+        passes_acceptance,
+    )
+
+    rng = np.random.default_rng(0)
+    vT = np.linalg.qr(rng.normal(size=(24, 4)))[0].T
+    s = np.asarray([10.0, 5.0, 2.01, 2.0])  # last two clustered
+    # same subspace; clustered pair rotated + signs flipped
+    R = np.eye(4)
+    th = 0.7
+    R[2:, 2:] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+    vT2 = (R @ vT) * np.asarray([-1, 1, 1, -1])[:, None]
+    cmp = compare_bases(vT2, s * 1.01, vT, s)
+    assert passes_acceptance(cmp), cmp.per_direction_cos
+    # a genuinely different direction fails
+    vT3 = vT.copy()
+    vT3[0] = np.linalg.qr(rng.normal(size=(24, 5)))[0].T[4]
+    cmp_bad = compare_bases(vT3, s, vT, s)
+    assert not passes_acceptance(cmp_bad)
