@@ -199,6 +199,7 @@ class VAEConfig:
     layers_per_block: int = 2
     norm_num_groups: int = 32
     scaling_factor: float = 0.18215
+    attn_impl: str = "xla"  # 'flash' pays off at 512px (4096-token mid attn)
     dtype: str = "float32"
     precision: Optional[str] = None
 

@@ -27,6 +27,7 @@ class VAEMidBlock(nn.Module):
     norm_num_groups: int
     dtype: Any = jnp.float32
     precision: Any = None
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -37,7 +38,8 @@ class VAEMidBlock(nn.Module):
         x = rb("resnets_0")(x, None)
         x = SelfAttention2D(
             norm_num_groups=self.norm_num_groups, dtype=self.dtype,
-            precision=self.precision, name="attentions_0",
+            precision=self.precision, attn_impl=self.attn_impl,
+            name="attentions_0",
         )(x)
         x = rb("resnets_1")(x, None)
         return x
@@ -63,7 +65,8 @@ class Encoder(nn.Module):
                 x = Downsample2D(ch, dtype=dtype, precision=prec,
                                  name=f"down_blocks_{i}_downsamplers_0")(x)
         x = VAEMidBlock(cfg.block_out_channels[-1], cfg.norm_num_groups,
-                        dtype=dtype, precision=prec, name="mid_block")(x)
+                        dtype=dtype, precision=prec, attn_impl=cfg.attn_impl,
+                        name="mid_block")(x)
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
                          dtype=dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
@@ -82,7 +85,8 @@ class Decoder(nn.Module):
         x = nn.Conv(rev[0], (3, 3), padding=1, dtype=dtype, precision=prec,
                     name="conv_in")(z)
         x = VAEMidBlock(rev[0], cfg.norm_num_groups, dtype=dtype,
-                        precision=prec, name="mid_block")(x)
+                        precision=prec, attn_impl=cfg.attn_impl,
+                        name="mid_block")(x)
         n = len(rev)
         for i, ch in enumerate(rev):
             for j in range(cfg.layers_per_block + 1):
