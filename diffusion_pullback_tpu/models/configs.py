@@ -204,8 +204,8 @@ class VAEConfig:
     precision: Optional[str] = None
 
 
-def sd_vae() -> VAEConfig:
-    return VAEConfig()
+def sd_vae(**over) -> VAEConfig:
+    return VAEConfig(**over)
 
 
 def vae_tiny(sample_size: int = 32) -> VAEConfig:

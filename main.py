@@ -120,7 +120,7 @@ def build_sd(args):
     if args.attn_impl:
         ucfg = dataclasses.replace(ucfg, attn_impl=args.attn_impl)
     unet = UNet2DCondition(ucfg)
-    vae = AutoencoderKL(sd_vae())
+    vae = AutoencoderKL(sd_vae(attn_impl=args.attn_impl))
     text = CLIPTextModel(sd21_text_encoder())
 
     s, c = ucfg.sample_size, ucfg.in_channels

@@ -213,3 +213,30 @@ def test_remat_transformer_identical_outputs():
                            added_cond=(te, tids), method=UNet2DCondition.encode)
     _, lin = jax.linearize(f, x)
     assert lin(jnp.ones_like(x)).shape == f(x).shape
+
+
+def test_vae_flash_attn_impl_matches_xla():
+    """attn_impl='flash' (interpret-mode Pallas on CPU) through the actual
+    VAE mid block must match the xla path; non-tiling seqs fall back."""
+    import dataclasses
+
+    from unittest import mock
+
+    from diffusion_pullback_tpu.models import vae_tiny
+    from diffusion_pullback_tpu.ops.pallas import flash_attention as fa
+
+    cfg_x = vae_tiny(16)
+    cfg_f = dataclasses.replace(cfg_x, attn_impl="flash")
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(1, 16, 16, 3)),
+                    jnp.float32)
+    vx = AutoencoderKL(cfg_x)
+    params = vx.init(jax.random.key(0), x)
+    out_x = vx.apply(params, x, method=AutoencoderKL.encode)
+    # run the flash path through the interpreter (no TPU in tests)
+    orig = fa._flash
+    with mock.patch.object(
+        fa, "_flash", lambda q, k, v, scale, interpret: orig(q, k, v, scale, True)
+    ):
+        vf = AutoencoderKL(cfg_f)
+        out_f = vf.apply(params, x, method=AutoencoderKL.encode)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), atol=2e-5)
