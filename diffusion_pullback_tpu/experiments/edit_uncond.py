@@ -404,7 +404,7 @@ class EditUncondDiffusion:
         t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
 
         run = self._jitted(
-            f"local_pca_{tap}_{pca_rank}_{num_samples}",
+            f"local_pca_{tap}_{pca_rank}_{num_samples}_{sigma}",
             lambda p, z, tt, k: local_pca(
                 lambda zz: self.model.apply(p, zz, tt, tap, method=UNet2D.encode),
                 z, k, rank=pca_rank, num_samples=num_samples,

@@ -97,7 +97,9 @@ class UNet2DConditionConfig:
     up_block_types: Tuple[str, ...] = ("up", "cross", "cross", "cross")
     layers_per_block: int = 2
     attention_heads: Tuple[int, ...] = (5, 10, 20, 20)
-    attention_head_dim: int = 64
+    # per-block head dim; an int applies to every block (SD2.x/SDXL use a
+    # constant 64; SD1.5 fixes heads=8 so head_dim scales with channels)
+    attention_head_dim: Any = 64
     transformer_depth: Tuple[int, ...] = (1, 1, 1, 1)
     cross_attention_dim: int = 1024
     use_linear_projection: bool = True
@@ -124,11 +126,11 @@ def sd21_base_unet(**over) -> UNet2DConditionConfig:
 
 
 def sd15_unet(**over) -> UNet2DConditionConfig:
-    """runwayml/stable-diffusion-v1-5 U-Net: 8 heads per block, conv
-    projections, CLIP-L context (768)."""
+    """runwayml/stable-diffusion-v1-5 U-Net: 8 heads per block (so head_dim
+    scales with the block channels), conv projections, CLIP-L context."""
     return UNet2DConditionConfig(
         attention_heads=(8, 8, 8, 8),
-        attention_head_dim=40,  # overridden per-block below via heads*dim=ch
+        attention_head_dim=(40, 80, 160, 160),  # ch/8 per block
         cross_attention_dim=768,
         use_linear_projection=False,
         **over,

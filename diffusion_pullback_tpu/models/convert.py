@@ -67,18 +67,23 @@ def _is_norm_path(path: Tuple[str, ...]) -> bool:
     return "norm" in last
 
 
+CLIP_STRIP_PREFIXES = ("text_model.", "embeddings.", "encoder.", "module.")
+
+
 def convert_torch_state_dict(
     state_dict: Dict[str, Any],
     template_params: Dict[str, Any],
-    strip_prefixes: Tuple[str, ...] = ("text_model.", "embeddings.", "encoder.", "module."),
+    strip_prefixes: Tuple[str, ...] = ("module.",),
 ) -> Dict[str, Any]:
     """Convert a torch state dict into the Flax param pytree shaped like
     ``template_params`` (from model.init). Raises on missing/shape-mismatched
     leaves so silent partial loads are impossible.
 
-    ``strip_prefixes`` removes HF wrapper scopes (e.g. CLIP's
-    text_model.embeddings.* / text_model.encoder.layers.*) anywhere in the
-    name so Flax trees can stay flat."""
+    ``strip_prefixes`` removes wrapper scopes anywhere in the name; pass
+    ``CLIP_STRIP_PREFIXES`` when loading HF CLIP text towers (their
+    text_model./embeddings./encoder. scopes don't exist in our flat Flax
+    tree). The default must NOT strip 'encoder.' — the VAE genuinely scopes
+    its params under encoder/decoder."""
     flat_out: Dict[Tuple[str, ...], np.ndarray] = {}
 
     for name, tensor in state_dict.items():
@@ -90,8 +95,20 @@ def convert_torch_state_dict(
         path, leaf = _torch_name_to_flax_path(name)
         if leaf in ("num_batches_tracked", "position_ids"):
             continue  # torch buffers with no Flax counterpart
-        # downsamplers_0 / upsamplers_0 keep an inner 'conv' module
-        if path and path[-1] in ("downsamplers_0", "upsamplers_0"):
+        # VAE encoder/decoder use flat stage names:
+        # encoder.down_blocks.0.resnets.1 → encoder/down_blocks_0_resnets_1
+        if path and path[0] in ("encoder", "decoder"):
+            merged = []
+            for comp in path[1:]:
+                if merged and merged[-1].split("_")[0] in ("down", "up")                         and comp.split("_")[0] in ("resnets", "downsamplers",
+                                                   "upsamplers"):
+                    merged[-1] = f"{merged[-1]}_{comp}"
+                else:
+                    merged.append(comp)
+            path = (path[0],) + tuple(merged)
+        # downsamplers_0 / upsamplers_0 keep an inner 'conv' module (also as
+        # the suffix of merged VAE stage names)
+        if path and path[-1].endswith(("downsamplers_0", "upsamplers_0")):
             path = path + ("conv",)
         if path and path[-1].endswith("_embedding") and leaf == "weight":
             # nn.Embed tables keep (vocab, dim) orientation
@@ -160,6 +177,21 @@ def flax_params_to_torch_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndar
             return
         arr = np.asarray(node)
         mods, leaf = path[:-1], path[-1]
+        # split VAE flat stage names back: down_blocks_0_resnets_1 →
+        # down_blocks.0.resnets.1
+        if mods and mods[0] in ("encoder", "decoder"):
+            expanded = [mods[0]]
+            for comp in mods[1:]:
+                m2 = re.fullmatch(
+                    r"(down_blocks|up_blocks)_(\d+)_"
+                    r"(resnets|downsamplers|upsamplers)_(\d+)", comp
+                )
+                if m2:
+                    expanded += [f"{m2.group(1)}_{m2.group(2)}",
+                                 f"{m2.group(3)}_{m2.group(4)}"]
+                else:
+                    expanded.append(comp)
+            mods = tuple(expanded)
         # strip the inner 'conv' of samplers back to HF naming
         if len(mods) >= 2 and mods[-2] in ("downsamplers_0", "upsamplers_0") and mods[-1] == "conv":
             mods = mods[:-1]

@@ -242,6 +242,11 @@ class UNet2DCondition(nn.Module):
                                                   precision=precision)
 
         n_down = len(cfg.down_block_types)
+        head_dims = (
+            cfg.attention_head_dim
+            if isinstance(cfg.attention_head_dim, (tuple, list))
+            else (cfg.attention_head_dim,) * n_down
+        )
         down = []
         for i, bt in enumerate(cfg.down_block_types):
             common = dict(
@@ -256,7 +261,7 @@ class UNet2DCondition(nn.Module):
             )
             if bt == "cross":
                 down.append(CrossAttnDownBlock(
-                    heads=cfg.attention_heads[i], head_dim=cfg.attention_head_dim,
+                    heads=cfg.attention_heads[i], head_dim=head_dims[i],
                     depth=cfg.transformer_depth[i],
                     use_linear_projection=cfg.use_linear_projection,
                     attn_impl=cfg.attn_impl,
@@ -268,7 +273,7 @@ class UNet2DCondition(nn.Module):
 
         self.mid_block = CrossAttnMidBlock(
             channels=cfg.block_out_channels[-1],
-            heads=cfg.attention_heads[-1], head_dim=cfg.attention_head_dim,
+            heads=cfg.attention_heads[-1], head_dim=head_dims[-1],
             depth=cfg.transformer_depth[-1],
             use_linear_projection=cfg.use_linear_projection,
             norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
@@ -280,6 +285,7 @@ class UNet2DCondition(nn.Module):
         rev_ch = tuple(reversed(cfg.block_out_channels))
         rev_heads = tuple(reversed(cfg.attention_heads))
         rev_depth = tuple(reversed(cfg.transformer_depth))
+        rev_head_dims = tuple(reversed(head_dims))
         n_up = len(cfg.up_block_types)
         up = []
         for i, bt in enumerate(cfg.up_block_types):
@@ -295,7 +301,7 @@ class UNet2DCondition(nn.Module):
             )
             if bt == "cross":
                 up.append(CrossAttnUpBlock(
-                    heads=rev_heads[i], head_dim=cfg.attention_head_dim,
+                    heads=rev_heads[i], head_dim=rev_head_dims[i],
                     depth=rev_depth[i],
                     use_linear_projection=cfg.use_linear_projection,
                     attn_impl=cfg.attn_impl,

@@ -61,24 +61,28 @@ def attention(
 ) -> jax.Array:
     """Dispatch between implementations.
 
-    impl: 'xla' (differentiable reference), 'flash' (Pallas kernel, primal +
-    custom VJP + custom JVP), or 'auto' (flash on TPU for long sequences,
-    otherwise xla).
+    impl:
+      'xla'       — reference implementation; jvp/vjp/transpose-native.
+      'blockwise' — O(S·block) memory, still fully differentiable both modes.
+      'flash'     — Pallas fused kernels (custom_vjp): fastest primal+grad,
+                    but NOT forward-mode differentiable — never select it on
+                    a path that will be jax.linearize'd (the pullback).
+      'auto'      — safe default: blockwise for long sequences, else xla.
+                    Deliberately avoids 'flash' because this dispatcher can't
+                    see whether it is inside forward-mode AD.
     """
     if impl == "xla":
         return xla_attention(q, k, v, scale, precision)
     if impl == "blockwise":
         return blockwise_attention(q, k, v, scale, precision=precision)
-    if impl in ("flash", "auto"):
-        try:
-            from .pallas.flash_attention import flash_attention
+    if impl == "flash":
+        from .pallas.flash_attention import flash_attention
 
-            seq_q, seq_k = q.shape[1], k.shape[1]
-            on_tpu = jax.default_backend() == "tpu"
-            if impl == "flash" or (on_tpu and seq_q >= 1024 and seq_k >= 1024):
-                return flash_attention(q, k, v, scale)
-        except ImportError:
-            pass
+        return flash_attention(q, k, v, scale)
+    if impl == "auto":
+        seq_q, seq_k = q.shape[1], k.shape[1]
+        if seq_q >= 1024 and seq_k >= 1024:
+            return blockwise_attention(q, k, v, scale, precision=precision)
         return xla_attention(q, k, v, scale, precision)
     raise ValueError(f"unknown attention impl: {impl!r}")
 
@@ -111,10 +115,14 @@ def blockwise_attention(
         return xla_attention(q, k, v, scale, precision)
     if sk % block_k != 0:
         # largest divisor of sk not exceeding the requested block size keeps
-        # the scan uniform without masking/padding
+        # the scan uniform without masking/padding; pathological lengths
+        # (primes → divisor 1) fall back to the dense path instead of a
+        # thousands-step scan
         bk = block_k
         while sk % bk:
             bk -= 1
+        if bk < max(64, block_k // 8):
+            return xla_attention(q, k, v, scale, precision)
         block_k = bk
     nk = sk // block_k
     dtype = q.dtype

@@ -353,6 +353,16 @@ def flash_attention(
         scale = q.shape[-1] ** -0.5
     b, sq, h, d = q.shape
     sk = k.shape[1]
+    # validate tiling once for every kernel this may route to (fwd, lse-fwd
+    # under custom_vjp, and the backward kernels) — the non-primal paths
+    # would otherwise silently truncate non-divisible sequences
+    bq, bk = min(512, sq), min(512, sk)
+    if sq % bq or sk % bk:
+        raise ValueError(
+            f"flash_attention requires sequence lengths divisible by the "
+            f"block size (sq={sq}, sk={sk}, blocks=({bq},{bk})); use "
+            f"impl='blockwise' or 'xla' for irregular lengths"
+        )
     to_bh = lambda x, s: x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
     out = _flash(to_bh(q, sq), to_bh(k, sk), to_bh(v, sk), float(scale), interpret)
     return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)

@@ -93,18 +93,20 @@ def dp_vmap(fn, mesh: Mesh, axis_name: str = "dp"):
     """
     sh = NamedSharding(mesh, P(axis_name))
 
-    def spec_like(tree):
-        return jax.tree.map(lambda _: sh, tree)
-
     vf = jax.vmap(fn)
+    cache = {}
 
     def run(*args):
-        jf = jax.jit(
-            vf,
-            in_shardings=spec_like(args),
-            out_shardings=None,  # let XLA propagate the dp layout
-        )
+        # one jit per argument tree-structure, reused across calls (a fresh
+        # jax.jit object every call would retrace/recompile each time)
+        key = jax.tree.structure(args)
+        if key not in cache:
+            cache[key] = jax.jit(
+                vf,
+                in_shardings=jax.tree.map(lambda _: sh, args),
+                out_shardings=None,  # let XLA propagate the dp layout
+            )
         with mesh:
-            return jf(*args)
+            return cache[key](*args)
 
     return run

@@ -167,6 +167,13 @@ class LSUNDataset:
         out = crop_resize_normalize(np.asarray(img, np.uint8), self.image_size)
         if out is not None:
             return out[None]
+        # PIL fallback mirrors load_image: center-crop then bilinear resize
+        w, h = img.size
+        side = min(w, h)
+        left, top = (w - side) // 2, (h - side) // 2
+        img = img.crop((left, top, left + side, top + side))
+        img = img.resize((self.image_size, self.image_size),
+                         self._Image.BILINEAR)
         arr = np.asarray(img, np.float32) / 255.0 * 2 - 1
         return arr[None]
 

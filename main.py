@@ -226,12 +226,21 @@ def main(argv=None):
             )
 
     if args.run_edit_parallel_transport:
+        if not hasattr(edit, "run_edit_parallel_transport"):
+            raise SystemExit(
+                "--run_edit_parallel_transport is only implemented for the "
+                "unconditional family (reference parity: edit.py:781 exists "
+                "only on EditUncondDiffusion)")
         edit.run_edit_parallel_transport(
             sample_idx_0=args.sample_idx_0, sample_idx_1=args.sample_idx_1,
             op="mid", block_idx=0, vis_num=4, vis_num_pc=2, pca_rank=50,
         )
 
     if args.run_edit_local_pca_zt:
+        if not hasattr(edit, "run_edit_local_pca_xt"):
+            raise SystemExit(
+                "--run_edit_local_pca_zt is only implemented for the "
+                "unconditional family in round 1")
         edit.run_edit_local_pca_xt(
             idx=args.sample_idx, op="mid", block_idx=0,
             pca_rank=max(args.pca_rank, 4), vis_num=4, vis_num_pc=2,
@@ -252,6 +261,9 @@ def main(argv=None):
         )
 
     if args.run_edit_global_frechet_mean_zt:
+        if not hasattr(edit, "run_edit_global_frechet_mean_xt"):
+            raise SystemExit("--run_edit_global_frechet_mean_zt is only "
+                             "implemented for the unconditional family")
         edit.run_edit_global_frechet_mean_xt(
             idx=args.sample_idx,
             basis_indices=list(range(min(args.num_local_basis, 5))),
@@ -259,6 +271,9 @@ def main(argv=None):
         )
 
     if args.run_edit_global_hungarian_mean_zt:
+        if not hasattr(edit, "run_edit_global_hungarian_mean_xt"):
+            raise SystemExit("--run_edit_global_hungarian_mean_zt is only "
+                             "implemented for the unconditional family")
         edit.run_edit_global_hungarian_mean_xt(
             idx=args.sample_idx,
             basis_indices=list(range(min(args.num_local_basis, 5))),

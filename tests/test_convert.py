@@ -94,3 +94,23 @@ def test_old_diffusers_attention_names(tiny_params):
         np.testing.assert_array_equal(
             np.asarray(flat_a[path]), np.asarray(flat_b[path])
         )
+
+
+def test_vae_checkpoint_round_trip():
+    """The VAE's encoder/decoder scoping + flat stage names must survive the
+    torch round trip (regression: 'encoder.' was being stripped and the flat
+    down_blocks_i_resnets_j names didn't match the digit-merge)."""
+    from diffusion_pullback_tpu.models import AutoencoderKL, vae_tiny
+
+    vae = AutoencoderKL(vae_tiny(16))
+    params = vae.init(jax.random.key(1), jnp.zeros((1, 16, 16, 3)))
+    sd = flax_params_to_torch_state_dict(params)
+    assert any(k.startswith("encoder.down_blocks.0.resnets.0") for k in sd), \
+        sorted(sd)[:5]
+    assert any(k.startswith("decoder.up_blocks.0.resnets.0") for k in sd)
+    back = convert_torch_state_dict(sd, params)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_b[path]), err_msg=str(path))
