@@ -121,6 +121,11 @@ def convert_torch_state_dict(
         elif leaf == "weight":
             if arr.ndim == 4:  # conv OIHW → HWIO
                 flat_out[path + ("kernel",)] = arr.transpose(2, 3, 1, 0)
+            elif arr.ndim == 3:
+                # 1-D conv (out, in, 1) — ADM/guided-diffusion stores its
+                # attention qkv/proj as conv_nd(1, ...); our ADM blocks use
+                # Dense, so squeeze + transpose to (in, out)
+                flat_out[path + ("kernel",)] = arr[:, :, 0].T
             elif arr.ndim == 2:  # dense (out,in) → (in,out)
                 flat_out[path + ("kernel",)] = arr.T
             else:

@@ -114,3 +114,31 @@ def test_vae_checkpoint_round_trip():
     for path, leaf in flat_a:
         np.testing.assert_array_equal(np.asarray(leaf),
                                       np.asarray(flat_b[path]), err_msg=str(path))
+
+
+def test_adm_conv1d_qkv_weights_convert():
+    """ADM checkpoints store attention qkv/proj_out as 1-D convs with
+    (out, in, 1) weights; the converter must squeeze+transpose them onto our
+    Dense kernels."""
+    import dataclasses
+
+    from diffusion_pullback_tpu.models import UNetADM, adm_tiny
+
+    model = UNetADM(adm_tiny(16))
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                        jnp.float32(0.0))
+    sd = flax_params_to_torch_state_dict(params)
+    # rewrite every attention qkv/proj_out dense as an ADM-style conv1d
+    sd3 = {}
+    for k, v in sd.items():
+        if (".qkv." in k or ".proj_out." in k) and k.endswith(".weight") \
+                and v.ndim == 2:
+            sd3[k] = v[:, :, None]  # (out,in) -> (out,in,1)
+        else:
+            sd3[k] = v
+    back = convert_torch_state_dict(sd3, params)
+    flat_a = dict(jax.tree_util.tree_leaves_with_path(params))
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    for path in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[path]),
+                                      np.asarray(flat_b[path]), err_msg=str(path))
