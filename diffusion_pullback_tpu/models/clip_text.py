@@ -29,7 +29,8 @@ from .configs import CLIPTextConfig
 def _act(name: str):
     if name == "quick_gelu":
         return lambda x: x * jax.nn.sigmoid(1.702 * x)
-    return nn.gelu
+    # HF 'gelu' is the exact erf form (flax defaults to the tanh approx)
+    return lambda x: nn.gelu(x, approximate=False)
 
 
 class CLIPAttention(nn.Module):

@@ -63,7 +63,8 @@ class GEGLU(nn.Module):
             name="proj",
         )(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate)
+        # exact (erf) GELU — diffusers' GEGLU uses F.gelu, not the tanh approx
+        return h * nn.gelu(gate, approximate=False)
 
 
 class FeedForward(nn.Module):
