@@ -131,6 +131,6 @@ def pca_to_x_direction(
 ) -> jax.Array:
     """h-space principal direction → unit x-space direction via Jᵀ (the
     inverse-Jacobian trick)."""
-    h0 = fn(x)
-    v = pullback_covector(fn, x, component.reshape(h0.shape))
+    h_shape = jax.eval_shape(fn, x).shape  # shape only — no wasted forward
+    v = pullback_covector(fn, x, component.reshape(h_shape))
     return v / jnp.linalg.norm(v)

@@ -63,20 +63,36 @@ def _orthonormal_probes(key: jax.Array, dim: int, rank: int) -> jax.Array:
     return q.T
 
 
-def _short_fat_svd(m: jax.Array, eps: float = 1e-12):
-    """SVD of a short-fat (r, d) matrix via eigh of the r×r Gram matrix.
+def _short_fat_svd(m: jax.Array, eps: float = 1e-12, method: str = "qr"):
+    """SVD of a short-fat (r, d) matrix without a d-sized LAPACK call
+    (the reference SVDs the full matrix on GPU/CPU, utils.py:799).
 
     Returns (s, vT) with singular values descending and unit rows in vT.
-    TPU-friendly: one (r×d)(d×r) matmul + an r×r eigh instead of a d-sized
-    LAPACK SVD (the reference SVDs the full matrix on GPU/CPU, utils.py:799).
+      'qr'   (default): tall QR of mᵀ then SVD of the tiny r×r R factor —
+             conditioning ∝ σ, accurate down the spectrum tail. Cost
+             O(d·r²), all TPU-friendly.
+      'gram': eigh of m mᵀ — one matmul cheaper, but conditioning ∝ σ², so
+             directions with σ_k/σ_1 ≲ √eps_f32 are lost; fine for small
+             ranks / well-separated spectra.
     """
-    gram = m @ m.T  # (r, r), f32 accumulate
-    w, q = jnp.linalg.eigh(gram)          # ascending
-    w = w[::-1]
-    q = q[:, ::-1]
-    s = jnp.sqrt(jnp.maximum(w, 0.0))
-    vT = (q.T @ m) / jnp.maximum(s, eps)[:, None]
-    return s, vT
+    if method == "gram":
+        gram = m @ m.T  # (r, r), f32 accumulate
+        w, q = jnp.linalg.eigh(gram)          # ascending
+        w = w[::-1]
+        q = q[:, ::-1]
+        s = jnp.sqrt(jnp.maximum(w, 0.0))
+        vT = (q.T @ m) / jnp.maximum(s, eps)[:, None]
+        # guard: when the Gram is numerically rank-deficient (σ_k/σ_1 ≲
+        # eps_f32^(1/4)) the eps division above blows rows up and the power
+        # iteration diverges to NaN — re-unitize so it merely loses accuracy
+        vT = vT / jnp.clip(jnp.linalg.norm(vT, axis=1, keepdims=True), eps)
+        return s, vT
+    if method == "qr":
+        qtall, rfac = jnp.linalg.qr(m.T)       # m.T = Q (d×r) · R (r×r)
+        u, s, wT = jnp.linalg.svd(rfac.T)      # mᵀ = Q Rᵀᵀ… m = Rᵀ Qᵀ = U S (Wᵀ Qᵀ)
+        vT = wT @ qtall.T                      # (r, d) unit rows
+        return s, vT
+    raise ValueError(f"unknown svd method: {method!r}")
 
 
 def _batched(fn: Callable, chunk_size: Optional[int], rank: int):
@@ -107,13 +123,15 @@ def local_pullback(
     atol: float = 1e-3,
     chunk_size: Optional[int] = None,
     remat: bool = False,
+    svd_method: str = "qr",
 ) -> PullbackResult:
     """Top-``pca_rank`` singular triplets of ∂fn/∂x at ``x``.
 
     ``fn`` maps one sample (with its leading batch axis, usually 1) to a
     feature tensor; it must be jvp-differentiable. Convergence follows the
-    reference (utils.py:806): stop once max|v − v_prev| < atol after
-    ``min_iter`` iterations, else at ``max_iter``.
+    reference (utils.py:806): the earliest converged exit happens after
+    min_iter + 2 completed iterations (their `i > min_iter` break, 0-based),
+    else at ``max_iter``.
     """
     if remat:
         fn = jax.checkpoint(fn)
@@ -134,7 +152,7 @@ def local_pullback(
     def one_iteration(v):
         u = fwd(v)                        # (r, dim_h)
         vt = bwd(u)                       # (r, dim_x)
-        s, v_new = _short_fat_svd(vt)
+        s, v_new = _short_fat_svd(vt, method=svd_method)
         # sign-align rows to the previous iterate so the convergence test
         # (and the final output) is free of ± flapping
         signs = jnp.sign(jnp.sum(v_new * v, axis=1))
@@ -145,7 +163,9 @@ def local_pullback(
 
     def cond(carry):
         _, _, delta, it = carry
-        return (it < max_iter) & ((it <= min_iter) | (delta > atol))
+        # reference break fires at 0-based i > min_iter ⇒ min_iter + 2
+        # iterations minimum when converged
+        return (it < max_iter) & ((it <= min_iter + 1) | (delta > atol))
 
     def body(carry):
         v, _, _, it = carry

@@ -4,7 +4,7 @@ from .schedule import (
     alpha_bar,
     ddim_timestep_grid,
 )
-from .ddim import ddim_step, ddpm_step_learned_sigma, predict_x0
+from .ddim import ddim_step, ddpm_step_learned_sigma, predict_x0, split_learned_sigma
 
 __all__ = [
     "DiffusionSchedule",
@@ -13,5 +13,6 @@ __all__ = [
     "ddim_timestep_grid",
     "ddim_step",
     "ddpm_step_learned_sigma",
+    "split_learned_sigma",
     "predict_x0",
 ]

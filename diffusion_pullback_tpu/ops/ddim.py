@@ -83,8 +83,11 @@ def ddpm_step_learned_sigma(
     return DDIMStepOutput(prev, predict_x0(et, xt, at))
 
 
-def split_learned_sigma(model_out: jax.Array, axis: int = 1):
-    """Split a learned-σ model output into (ε, logvar) halves along ``axis``."""
+def split_learned_sigma(model_out: jax.Array, axis: int = -1):
+    """Split a learned-σ model output into (ε, logvar) halves along ``axis``
+    (default: the trailing channel axis — this framework is NHWC; the
+    reference splits torch NCHW outputs on dim 1, utils.py:1203)."""
+    axis = axis % model_out.ndim
     c = model_out.shape[axis] // 2
     et = jax.lax.slice_in_dim(model_out, 0, c, axis=axis)
     logvar = jax.lax.slice_in_dim(model_out, c, 2 * c, axis=axis)

@@ -28,18 +28,18 @@ EpsFn = Callable[[jax.Array, jax.Array], jax.Array]
 
 
 def performance_boost_etas(num_steps: int, boost_start_idx: Optional[int]):
-    """η per forward step: 0 everywhere, 1 from ``boost_start_idx`` on —
-    except the final step, which stays deterministic (reference
-    edit.py:1650-1653: boosting is skipped when the boost index is the last
-    timestep). Host-side numpy on purpose: the schedule is static config, so
-    it must stay a constant (bool()-able) even when built inside a jit trace.
+    """η per forward step: 0 before ``boost_start_idx``, 1 from it on —
+    including the final step. The reference's only exception (edit.py:1650)
+    is the degenerate boost index == last step, where boosting is disabled
+    entirely (the gate checks the *boost index*, not the current step).
+    Host-side numpy on purpose: the schedule is static config, so it must
+    stay a constant (bool()-able) even when built inside a jit trace.
     """
     import numpy as np
 
     etas = np.zeros((num_steps,), np.float32)
-    if boost_start_idx is not None and boost_start_idx < num_steps:
+    if boost_start_idx is not None and boost_start_idx < num_steps - 1:
         etas[boost_start_idx:] = 1.0
-        etas[num_steps - 1] = 0.0
     return etas
 
 

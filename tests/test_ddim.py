@@ -107,3 +107,19 @@ def test_predict_x0_inverts_q_sample():
     at = jnp.float32(0.42)
     xt = jnp.sqrt(at) * x0 + jnp.sqrt(1 - at) * ep
     np.testing.assert_allclose(np.asarray(predict_x0(ep, xt, at)), np.asarray(x0), atol=1e-5)
+
+
+def test_split_learned_sigma_default_channels_last():
+    """Default split axis is the trailing (NHWC) channel axis; negative and
+    explicit positive axes agree."""
+    from diffusion_pullback_tpu.ops import split_learned_sigma
+
+    x = jnp.concatenate(
+        [jnp.ones((2, 4, 4, 3)), 5.0 * jnp.ones((2, 4, 4, 3))], axis=-1
+    )
+    et, logvar = split_learned_sigma(x)
+    assert et.shape == logvar.shape == (2, 4, 4, 3)
+    assert float(et.mean()) == 1.0 and float(logvar.mean()) == 5.0
+    et2, logvar2 = split_learned_sigma(x, axis=3)
+    np.testing.assert_array_equal(np.asarray(et), np.asarray(et2))
+    np.testing.assert_array_equal(np.asarray(logvar), np.asarray(logvar2))

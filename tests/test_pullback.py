@@ -97,3 +97,35 @@ def test_pullback_covector_is_vjp(mlp):
     np.testing.assert_allclose(
         np.asarray(v).ravel(), np.asarray(J.T @ u.ravel()), atol=1e-5
     )
+
+
+def test_qr_svd_recovers_ill_conditioned_spectrum():
+    """QR-based SVD (default) holds accuracy over a 3-decade σ range where
+    the Gram path's σ⁴ conditioning loses the tail (reference uses a full
+    LAPACK SVD, utils.py:799 — this pins equivalent tail fidelity)."""
+    rng = np.random.default_rng(0)
+    d, k = 96, 8
+    sig = np.array([10.0, 5.0, 1.0, 0.5, 0.1, 0.05, 0.02, 0.01], np.float32)
+    qu, _ = np.linalg.qr(rng.normal(size=(d, d)).astype(np.float32))
+    qv, _ = np.linalg.qr(rng.normal(size=(d, d)).astype(np.float32))
+    u_true, v_true = qu[:, :k], qv[:, :k]
+    jac = (u_true * sig) @ v_true.T
+
+    fn = lambda x: (x.reshape(-1) @ jnp.asarray(jac.T)).reshape(1, -1)
+    res = local_pullback(
+        fn, jnp.zeros((1, d)), jax.random.key(1), pca_rank=k,
+        min_iter=10, max_iter=60,
+    )
+    np.testing.assert_allclose(np.asarray(res.s), sig, rtol=1e-4)
+    cos = np.abs(np.sum(np.asarray(res.vT) * v_true.T, axis=1))
+    assert cos.min() > 0.999
+    # earliest converged exit = min_iter + 2 completed iterations (the
+    # reference's `i > min_iter` break, utils.py:806)
+    assert int(res.iterations) == 12
+    # gram fallback must degrade gracefully (no NaN), even if the tail is lost
+    res_g = local_pullback(
+        fn, jnp.zeros((1, d)), jax.random.key(1), pca_rank=k,
+        min_iter=10, max_iter=30, svd_method="gram",
+    )
+    assert np.all(np.isfinite(np.asarray(res_g.s)))
+    assert np.all(np.isfinite(np.asarray(res_g.vT)))

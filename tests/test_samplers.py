@@ -66,12 +66,14 @@ def test_forward_partial_matches_manual_steps():
 
 
 def test_performance_boost_etas():
+    # η=1 from the boost index THROUGH the final step (reference gates on the
+    # boost index, not the current step — edit.py:1650)
     etas = performance_boost_etas(10, 7)
     np.testing.assert_array_equal(
-        np.asarray(etas), [0, 0, 0, 0, 0, 0, 0, 1, 1, 0]
+        np.asarray(etas), [0, 0, 0, 0, 0, 0, 0, 1, 1, 1]
     )
     assert not np.any(np.asarray(performance_boost_etas(10, None)))
-    # boosting at the final step index is disabled entirely
+    # the one exception: boost index == last step disables boosting entirely
     np.testing.assert_array_equal(
         np.asarray(performance_boost_etas(10, 9)), np.zeros(10)
     )
