@@ -12,7 +12,8 @@ resample.py schedule samplers):
     placement).
   - manual loss-scale fp16 → native bf16 compute with f32 master params
     (bf16 needs no loss scaling on TPU).
-  - microbatching → bigger per-step batches; remat if memory-bound.
+  - microbatching → prefer bigger per-step batches / remat; when true
+    accumulation is needed, `accum_steps` scans microbatches inside one jit.
   - UniformSampler → uniform timesteps from `jax.random` (LossSecondMoment
     importance sampling can be layered on the same pure step).
 
@@ -57,6 +58,7 @@ def make_train_step(
     ema_rate: float = 0.9999,
     learn_sigma_vb_weight: Optional[float] = None,
     loss_aware: bool = False,
+    accum_steps: int = 1,
 ):
     """Build the pure train step.
 
@@ -64,6 +66,11 @@ def make_train_step(
     loss_aware:  (state, x0, key, sampler_state) → (state, metrics,
                  sampler_state) — LossSecondMomentResampler semantics
                  (importance-sampled t + history update, training/resample.py).
+
+    ``accum_steps > 1`` accumulates gradients over that many microbatches
+    (batch must divide evenly) inside one compiled step via lax.scan — the
+    reference's host-side microbatch loop (train_util.py:forward_backward)
+    without per-microbatch dispatch; optimizer + EMA apply once per step.
 
     ``apply_fn(params, x_t, t)`` predicts ε; a learned-σ head (2× channels)
     trains its ε half with MSE plus ``learn_sigma_vb_weight``·L_vb (the
@@ -100,19 +107,58 @@ def make_train_step(
         losses = per_sample_losses(params, x0, t, noise)
         return jnp.mean(losses * weights), losses
 
-    def train_step(state: TrainState, x0: jax.Array, key: jax.Array,
-                   sampler_state=None):
-        kt, kn = jax.random.split(key)
+    def sample_t_noise(kt, kn, batch, x0_shape, x0_dtype, sampler_state):
         if loss_aware:
-            t, weights = loss_aware_sample_t(sampler_state, kt, x0.shape[0])
+            t, weights = loss_aware_sample_t(sampler_state, kt, batch)
         else:
             t, weights = uniform_sample_t(
-                kt, x0.shape[0], schedule.num_train_timesteps
+                kt, batch, schedule.num_train_timesteps
             )
-        noise = jax.random.normal(kn, x0.shape, x0.dtype)
-        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, x0, t, noise, weights
-        )
+        noise = jax.random.normal(kn, x0_shape, x0_dtype)
+        return t, weights, noise
+
+    def train_step(state: TrainState, x0: jax.Array, key: jax.Array,
+                   sampler_state=None):
+        if accum_steps > 1:
+            if x0.shape[0] % accum_steps:
+                raise ValueError(
+                    f"batch {x0.shape[0]} not divisible by accum_steps"
+                    f" {accum_steps}"
+                )
+            mb = x0.shape[0] // accum_steps
+            x0_mb = x0.reshape((accum_steps, mb) + x0.shape[1:])
+            keys = jax.random.split(key, accum_steps)
+
+            def micro(carry, inp):
+                grads_acc, loss_acc = carry
+                x0_i, key_i = inp
+                kt, kn = jax.random.split(key_i)
+                t, weights, noise = sample_t_noise(
+                    kt, kn, mb, x0_i.shape, x0_i.dtype, sampler_state
+                )
+                (loss_i, losses_i), grads_i = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, x0_i, t, noise, weights)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads_i)
+                return (grads_acc, loss_acc + loss_i), (t, losses_i)
+
+            zero_grads = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.result_type(p)), state.params
+            )
+            (grads, loss), (t, losses) = jax.lax.scan(
+                micro, (zero_grads, jnp.zeros(())), (x0_mb, keys)
+            )
+            grads = jax.tree.map(lambda g: g / accum_steps, grads)
+            loss = loss / accum_steps
+            t, losses = t.reshape(-1), losses.reshape(-1)
+        else:
+            kt, kn = jax.random.split(key)
+            t, weights, noise = sample_t_noise(
+                kt, kn, x0.shape[0], x0.shape, x0.dtype, sampler_state
+            )
+            (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, x0, t, noise, weights
+            )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema_params = jax.tree.map(

@@ -159,3 +159,33 @@ def test_gradient_accumulation_via_multisteps():
     d2 = max(jax.tree.leaves(jax.tree.map(
         lambda a, c: float(jnp.abs(a - c).max()), s2.params, state.params)))
     assert d2 > 0.0  # second micro-step applied the accumulated update
+
+
+def test_gradient_accumulation_in_jit_scan():
+    """accum_steps>1 scans microbatches inside one compiled step (the
+    reference's forward_backward microbatch loop, train_util.py, without
+    per-microbatch dispatch): one optimizer apply per call."""
+    import optax
+
+    from diffusion_pullback_tpu.models import UNet2D, ddpm_tiny
+    from diffusion_pullback_tpu.training import create_train_state, make_train_step
+
+    model = UNet2D(ddpm_tiny(16))
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                        jnp.float32(0.0))
+    sched = DiffusionSchedule.linear()
+    opt = optax.sgd(1e-2)
+    state = create_train_state(params, opt)
+    step = make_train_step(lambda p, xt, t: model.apply(p, xt, t), sched, opt,
+                           ema_rate=0.0, accum_steps=2)
+    b = jnp.ones((4, 16, 16, 3)) * 0.1
+    s1, m = jax.jit(step)(state, b, jax.random.key(1))
+    assert int(m["step"]) == 1 and np.isfinite(float(m["loss"]))
+    delta = max(jax.tree.leaves(jax.tree.map(
+        lambda a, c: float(jnp.abs(a - c).max()), s1.params, state.params)))
+    assert delta > 0.0  # a single call applied the accumulated update
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        step(state, jnp.ones((3, 16, 16, 3)), jax.random.key(1))
