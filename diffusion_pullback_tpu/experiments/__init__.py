@@ -1,5 +1,6 @@
 from .cache import BasisCache, basis_name
 from .edit_sd import EditStableDiffusion, SDExperimentConfig
+from .edit_sdxl import EditStableDiffusionXL
 from .edit_uncond import EditUncondDiffusion, UncondExperimentConfig
 
 __all__ = [
@@ -7,6 +8,7 @@ __all__ = [
     "basis_name",
     "EditStableDiffusion",
     "SDExperimentConfig",
+    "EditStableDiffusionXL",
     "EditUncondDiffusion",
     "UncondExperimentConfig",
 ]

@@ -16,6 +16,24 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+def _to_f32(a) -> np.ndarray:
+    a = np.asarray(a)
+    if a.dtype.kind == "f" and a.dtype != np.float32:
+        return a.astype(np.float32)
+    if a.dtype.kind not in "fiu":  # e.g. jax bfloat16 viewed as void
+        return np.asarray(a, np.float32)
+    return a
+
+
+def _from_npz(a: np.ndarray) -> np.ndarray:
+    if a.dtype.kind == "V" and a.dtype.itemsize == 2:
+        # legacy cache written before the f32 widening: raw bfloat16 bytes
+        import ml_dtypes
+
+        return a.view(ml_dtypes.bfloat16).astype(np.float32)
+    return a
+
+
 def basis_name(
     dataset_name: str,
     sample_idx: int,
@@ -48,7 +66,7 @@ class BasisCache:
             return None
         try:
             z = np.load(p)
-            return z["u"], z["s"], z["vT"]
+            return tuple(_from_npz(z[k]) for k in ("u", "s", "vT"))
         except Exception:
             return None
 
@@ -59,7 +77,9 @@ class BasisCache:
             # pass the file object: np.savez appends '.npz' to bare paths,
             # which would leave the real tmp file empty
             with os.fdopen(fd, "wb") as f:
-                np.savez(f, u=np.asarray(u), s=np.asarray(s), vT=np.asarray(vT))
+                # widen to f32: npz stores bfloat16 as raw void ("|V2"),
+                # which neither numpy nor jnp.asarray can interpret back
+                np.savez(f, u=_to_f32(u), s=_to_f32(s), vT=_to_f32(vT))
             os.replace(tmp, p)  # atomic on POSIX
         finally:
             if os.path.exists(tmp):

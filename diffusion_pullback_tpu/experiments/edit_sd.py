@@ -61,6 +61,10 @@ class SDExperimentConfig:
     pullback_max_iter: int = 50
     pullback_atol: float = 1e-4
     pullback_chunk_size: Optional[int] = None
+    pullback_remat: bool = False
+    # decode at most this many latents per device program (None = all at
+    # once) — SDXL decodes 1024px frames; chunking bounds VAE activations
+    decode_chunk: Optional[int] = None
     result_folder: str = "./runs/sd"
     obs_folder: str = "./runs/sd/obs"
     basis_folder: str = "./inputs/local_encoder_pullback_stable_diffusion"
@@ -103,21 +107,34 @@ class EditStableDiffusion:
 
         # prompt embeddings: for / neg / null / inv / edit (edit.py:65-75)
         t0 = time.perf_counter()
-        embed = jax.jit(
-            lambda tp, ids: self.text_model.apply(tp, ids)
-        )
-        get_emb = lambda p: embed(
-            self.text_params, jnp.asarray(self.tokenizer([p]))
-        )
-        self.for_prompt_emb = get_emb(config.for_prompt)
-        self.neg_prompt_emb = get_emb(config.neg_prompt)
-        self.null_prompt_emb = get_emb("")
-        self.inv_prompt_emb = get_emb(config.inv_prompt)
-        self.edit_prompt_emb = get_emb(config.edit_prompt)
+        self.for_prompt_emb = self._get_emb(config.for_prompt)
+        self.neg_prompt_emb = self._get_emb(config.neg_prompt)
+        self.null_prompt_emb = self._get_emb("")
+        self.inv_prompt_emb = self._get_emb(config.inv_prompt)
+        self.edit_prompt_emb = self._get_emb(config.edit_prompt)
         jax.block_until_ready(self.edit_prompt_emb)
         self.log.log("sd_prompts_embedded", seconds=time.perf_counter() - t0)
 
         self._jit_cache = {}
+
+    # ---- prompt / tap hooks (overridden by the SDXL driver) ----------------
+
+    def _get_emb(self, prompt: str):
+        """Prompt → context embedding pytree (jit takes text params as an
+        argument — closing over CLIP weights bakes them into the HLO)."""
+        if not hasattr(self, "_embed_jit"):
+            self._embed_jit = jax.jit(
+                lambda tp, ids: self.text_model.apply(tp, ids)
+            )
+        return self._embed_jit(
+            self.text_params, jnp.asarray(self.tokenizer([prompt]))
+        )
+
+    def _tap_encode(self, params, z, t, prompt_emb, tap: TapPoint):
+        """U-Net feature-tap encoder h = f(z) the pullback differentiates."""
+        return self.unet.apply(
+            params, z, t, prompt_emb, tap, method=UNet2DCondition.encode
+        )
 
     # ---- eps functions ----------------------------------------------------
 
@@ -227,11 +244,21 @@ class EditStableDiffusion:
         return fn(self.unet_params, self.for_prompt_emb, self.neg_prompt_emb, zt)
 
     def decode_latents(self, z) -> np.ndarray:
+        chunk = self.cfg.decode_chunk or z.shape[0]
         dec = self._jitted(
-            f"vae_decode_{z.shape[0]}",
+            f"vae_decode_{min(chunk, z.shape[0])}",
             lambda p, zz: self.vae.apply(p, zz, method=AutoencoderKL.decode),
         )
-        return np.asarray(dec(self.vae_params, z))
+        if chunk >= z.shape[0]:
+            return np.asarray(dec(self.vae_params, z))
+        outs = [
+            np.asarray(dec(self.vae_params, z[i:i + chunk]))
+            for i in range(0, z.shape[0] - z.shape[0] % chunk, chunk)
+        ]
+        rem = z.shape[0] % chunk
+        if rem:
+            outs.append(np.asarray(dec(self.vae_params, z[-chunk:]))[-rem:])
+        return np.concatenate(outs, axis=0)
 
     def run_DDIMforward(self, num_samples=5, save_as=None):
         s = self.unet.config.sample_size
@@ -249,15 +276,14 @@ class EditStableDiffusion:
         run = self._jitted(
             f"pullback_{tap}_{pca_rank}",
             lambda p, emb, z, tt, k: local_pullback(
-                lambda zz: self.unet.apply(
-                    p, zz, tt, emb, tap, method=UNet2DCondition.encode
-                ),
+                lambda zz: self._tap_encode(p, zz, tt, emb, tap),
                 z, k,
                 pca_rank=pca_rank,
                 min_iter=self.cfg.pullback_min_iter,
                 max_iter=self.cfg.pullback_max_iter,
                 atol=self.cfg.pullback_atol,
                 chunk_size=self.cfg.pullback_chunk_size,
+                remat=self.cfg.pullback_remat,
             ),
         )
         t0 = time.perf_counter()
@@ -287,12 +313,7 @@ class EditStableDiffusion:
         cfg = self.cfg
         if edit_prompt is not None:
             cfg.edit_prompt = edit_prompt
-            embed = jax.jit(
-            lambda tp, ids: self.text_model.apply(tp, ids)
-        )
-            self.edit_prompt_emb = embed(
-                self.text_params, jnp.asarray(self.tokenizer([edit_prompt]))
-            )
+            self.edit_prompt_emb = self._get_emb(edit_prompt)
         pca_rank = pca_rank or cfg.pca_rank
         vis_num = vis_num or cfg.vis_num
         vis_num_pc = vis_num_pc or cfg.vis_num_pc
@@ -439,14 +460,13 @@ class EditStableDiffusion:
             def pull_one(args):
                 zt, tt, kk = args
                 return local_pullback(
-                    lambda q: self.unet.apply(
-                        p, q, tt, ee, tap, method=UNet2DCondition.encode
-                    ),
+                    lambda q: self._tap_encode(p, q, tt, ee, tap),
                     zt, kk, pca_rank=pca_rank,
                     min_iter=self.cfg.pullback_min_iter,
                     max_iter=self.cfg.pullback_max_iter,
                     atol=self.cfg.pullback_atol,
                     chunk_size=self.cfg.pullback_chunk_size,
+                    remat=self.cfg.pullback_remat,
                 )
 
             if sequential:
@@ -481,12 +501,7 @@ class EditStableDiffusion:
         cfg = self.cfg
         tap = TapPoint(op, block_idx)
         if edit_prompt is not None:
-            embed = jax.jit(
-            lambda tp, ids: self.text_model.apply(tp, ids)
-        )
-            self.edit_prompt_emb = embed(
-                self.text_params, jnp.asarray(self.tokenizer([edit_prompt]))
-            )
+            self.edit_prompt_emb = self._get_emb(edit_prompt)
             cfg.edit_prompt = edit_prompt
         name = basis_name(
             cfg.dataset_name, idx, h_t, op, block_idx, cfg.seed,

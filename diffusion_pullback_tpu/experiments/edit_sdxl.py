@@ -1,0 +1,153 @@
+"""Stable-Diffusion-XL editing experiments (dual-tower latent pullback).
+
+SDXL flavour of `EditStableDiffusion` — the reference's pipeline family
+(/root/reference/src/modules/edit.py:31-535 is written against the SD1/SD2
+HF pipelines; SDXL is its BASELINE config-5 scale target). Differences from
+the SD driver, all confined to the prompt/conditioning plumbing:
+
+  - two text towers: CLIP ViT-L (768) and OpenCLIP bigG (1280), each read at
+    the penultimate hidden layer; their concatenation (2048) is the U-Net
+    cross-attention context.
+  - the bigG tower additionally yields the pooled/projected text embedding,
+    which together with the (orig_size, crop, target_size) time_ids feeds the
+    U-Net's addition-embeds path (models/unet2d_condition.py:_embed).
+  - VAE scaling_factor 0.13025 (vs 0.18215) — carried by the VAE config.
+
+Every prompt embedding is the pytree ``(context, pooled)``; it flows through
+the same jit argument paths as the SD driver's single array, so all parent
+pipelines (inversion, forward, pullback, guidance, harvest) are inherited
+unchanged — only `_get_emb`, `eps_with` and `_tap_encode` are overridden.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.clip_text import CLIPTextModel, load_tokenizer
+from ..models.unet2d import TapPoint
+from ..models.unet2d_condition import UNet2DCondition
+from ..models.vae import AutoencoderKL
+from ..ops.schedule import DiffusionSchedule
+from ..utils.logging import JSONLLogger
+from .cache import BasisCache
+from .edit_sd import EditStableDiffusion, SDExperimentConfig
+
+
+class EditStableDiffusionXL(EditStableDiffusion):
+    def __init__(
+        self,
+        unet: UNet2DCondition,
+        unet_params,
+        vae: AutoencoderKL,
+        vae_params,
+        text_model_1: CLIPTextModel,
+        text_params_1,
+        text_model_2: CLIPTextModel,
+        text_params_2,
+        schedule: DiffusionSchedule,
+        dataset,
+        config: SDExperimentConfig,
+        tokenizer_1=None,
+        tokenizer_2=None,
+        logger: Optional[JSONLLogger] = None,
+    ):
+        self.text_model_1, self.text_params_1 = text_model_1, text_params_1
+        self.text_model_2, self.text_params_2 = text_model_2, text_params_2
+        self.tokenizer_1 = tokenizer_1 or load_tokenizer(text_model_1.config)
+        self.tokenizer_2 = tokenizer_2 or load_tokenizer(text_model_2.config)
+        # micro-conditioning: original size == target size, no crop — the
+        # "clean generation" time_ids SDXL pipelines use by default
+        side = float(unet.config.sample_size * 8)
+        self._time_ids = jnp.asarray(
+            [[side, side, 0.0, 0.0, side, side]], jnp.float32
+        )
+        super().__init__(
+            unet, unet_params, vae, vae_params,
+            # parent keeps these for API symmetry; XL paths use the pair above
+            text_model_1, text_params_1,
+            schedule, dataset, config,
+            tokenizer=self.tokenizer_1, logger=logger,
+        )
+
+    # ---- prompt / tap hooks -------------------------------------------------
+
+    def _get_emb(self, prompt: str):
+        """Prompt → ((B, 77, 2048) context, (B, 1280) pooled) pytree."""
+        if not hasattr(self, "_embed_jit_xl"):
+            def embed(tp1, tp2, ids1, ids2):
+                h1 = self.text_model_1.apply(tp1, ids1, penultimate=True)
+                h2, pooled = self.text_model_2.apply(
+                    tp2, ids2, return_pooled=True, penultimate=True
+                )
+                return jnp.concatenate([h1, h2], axis=-1), pooled
+
+            self._embed_jit_xl = jax.jit(embed)
+        return self._embed_jit_xl(
+            self.text_params_1, self.text_params_2,
+            jnp.asarray(self.tokenizer_1([prompt])),
+            jnp.asarray(self.tokenizer_2([prompt])),
+        )
+
+    def _added(self, pooled, b):
+        return (
+            jnp.broadcast_to(pooled, (b,) + pooled.shape[1:]),
+            jnp.broadcast_to(self._time_ids, (b, 6)),
+        )
+
+    def _tap_encode(self, params, z, t, prompt_emb, tap: TapPoint):
+        ctx, pooled = prompt_emb
+        return self.unet.apply(
+            params, z, t, ctx, tap,
+            added_cond=self._added(pooled, z.shape[0]),
+            method=UNet2DCondition.encode,
+        )
+
+    # ---- eps ----------------------------------------------------------------
+
+    def eps_with(self, params, prompt_emb, cfg_neg_emb=None):
+        """ε(z, t) with SDXL conditioning; CFG fuses [neg; for] rows with
+        their pooled embeddings into one 2·B batch (same shape discipline as
+        the SD driver — reference edit.py:446-463)."""
+        scale = self.cfg.guidance_scale
+        ctx, pooled = prompt_emb
+
+        if cfg_neg_emb is None or scale <= 1.0:
+            def fn(z, t):
+                b = z.shape[0]
+                c = jnp.broadcast_to(ctx, (b,) + ctx.shape[1:])
+                return self.unet.apply(
+                    params, z, t, c, added_cond=self._added(pooled, b)
+                )
+            return fn
+
+        neg_ctx, neg_pooled = cfg_neg_emb
+
+        def fn(z, t):
+            b = z.shape[0]
+            zz = jnp.concatenate([z, z], axis=0)
+            cc = jnp.concatenate(
+                [
+                    jnp.broadcast_to(neg_ctx, (b,) + neg_ctx.shape[1:]),
+                    jnp.broadcast_to(ctx, (b,) + ctx.shape[1:]),
+                ],
+                axis=0,
+            )
+            pp = jnp.concatenate(
+                [
+                    jnp.broadcast_to(neg_pooled, (b,) + neg_pooled.shape[1:]),
+                    jnp.broadcast_to(pooled, (b,) + pooled.shape[1:]),
+                ],
+                axis=0,
+            )
+            tids = jnp.broadcast_to(self._time_ids, (2 * b, 6))
+            eps = self.unet.apply(
+                params, zz, t, cc, added_cond=(pp, tids)
+            )
+            e_un, e_c = jnp.split(eps, 2, axis=0)
+            return e_un + scale * (e_c - e_un)
+
+        return fn

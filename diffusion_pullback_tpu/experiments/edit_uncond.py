@@ -133,19 +133,46 @@ class EditUncondDiffusion:
         self.log.log("ddim_inversion", idx=idx, seconds=time.perf_counter() - t0)
         return xT
 
-    def run_ddim_forward(self, num_samples: int = 4, key=None, save_as=None):
+    def run_ddim_forward(self, num_samples: int = 4, key=None, save_as=None,
+                         vis_psd: bool = False):
         """Sample from noise (reference run_DDIMforward — the 'debug model
-        load' smoke path, main.py:96-98)."""
+        load' smoke path, main.py:96-98). ``vis_psd`` additionally saves
+        radially-averaged PSD curves of the x_t and ε_t trajectories
+        (working spec of the reference's broken vis_psd path,
+        edit.py:1702-1709)."""
         key = jax.random.key(self.cfg.seed) if key is None else key
         s = self.model.config.sample_size
         xT = jax.random.normal(key, (num_samples, s, s, 3), jnp.float32)
-        fwd = self._jitted(
-            f"forward_{num_samples}",
-            lambda p, x: ddim_forward(
-                self._eps_with(p), x, self.schedule, self.fwd_grid
-            ),
-        )
-        x0 = fwd(self.params, xT)
+        if vis_psd:
+            from ..samplers.ddim_loop import ddim_scan
+
+            fwd = self._jitted(
+                f"forward_psd_{num_samples}",
+                lambda p, x: ddim_scan(
+                    self._eps_with(p), x, self.schedule,
+                    self.fwd_grid.timesteps, self.fwd_grid.timesteps_next,
+                    collect_trajectory=True, collect_eps=True,
+                ),
+            )
+            x0, (xt_traj, et_traj) = fwd(self.params, xT)
+            from .vis import vis_power_spectral_density
+
+            vis_power_spectral_density(
+                np.asarray(xt_traj),
+                os.path.join(self.cfg.obs_folder, "xt_psd.png"),
+            )
+            vis_power_spectral_density(
+                np.asarray(et_traj),
+                os.path.join(self.cfg.obs_folder, "et_psd.png"),
+            )
+        else:
+            fwd = self._jitted(
+                f"forward_{num_samples}",
+                lambda p, x: ddim_forward(
+                    self._eps_with(p), x, self.schedule, self.fwd_grid
+                ),
+            )
+            x0 = fwd(self.params, xT)
         x0.block_until_ready()
         if save_as:
             save_image_grid(np.asarray(x0), save_as)

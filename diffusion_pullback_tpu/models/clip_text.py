@@ -85,7 +85,8 @@ class CLIPTextModel(nn.Module):
     config: CLIPTextConfig
 
     @nn.compact
-    def __call__(self, input_ids: jax.Array, return_pooled: bool = False):
+    def __call__(self, input_ids: jax.Array, return_pooled: bool = False,
+                 penultimate: bool = False):
         """(B, L) int32 token ids → (B, L, hidden) final hidden states.
 
         ``return_pooled`` additionally returns the projected EOS-token
@@ -93,6 +94,11 @@ class CLIPTextModel(nn.Module):
         (hidden, pooled) tuple; eos is taken as the argmax token id per the
         CLIP convention (eos has the highest id in the CLIP vocab; the hash
         tokenizer uses id 1 with pad 2, so we locate the first eos instead).
+
+        ``penultimate`` returns the second-to-last layer's output *without*
+        the final LayerNorm (HF hidden_states[-2]) — the context SDXL's two
+        towers feed the UNet; the pooled feature still comes from the full
+        normalized tower.
         """
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
@@ -104,12 +110,17 @@ class CLIPTextModel(nn.Module):
                        name="position_embedding")(pos_ids)
         x = tok + pos
         causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
+        x_penult = x
         for i in range(cfg.num_layers):
+            if i == cfg.num_layers - 1:
+                x_penult = x
             x = CLIPLayer(
                 cfg.num_heads, cfg.intermediate_size, cfg.hidden_act,
                 dtype=dtype, precision=cfg.precision, name=f"layers_{i}",
             )(x, causal)
         hidden = nn.LayerNorm(dtype=dtype, name="final_layer_norm")(x)
+        if penultimate and not return_pooled:
+            return x_penult
         if not return_pooled:
             return hidden
         eos_pos = jnp.argmax(
@@ -118,7 +129,7 @@ class CLIPTextModel(nn.Module):
         pooled = hidden[jnp.arange(b), eos_pos]
         pooled = nn.Dense(cfg.hidden_size, use_bias=False, dtype=dtype,
                           name="text_projection")(pooled)
-        return hidden, pooled
+        return (x_penult if penultimate else hidden), pooled
 
 
 # ---- tokenization ---------------------------------------------------------

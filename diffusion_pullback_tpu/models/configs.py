@@ -249,6 +249,24 @@ def sd15_text_encoder() -> CLIPTextConfig:
     )
 
 
+def sdxl_text_encoder_1() -> CLIPTextConfig:
+    """SDXL's first tower: CLIP ViT-L/14 (the SD1.x tower; SDXL consumes its
+    penultimate hidden states)."""
+    return CLIPTextConfig(
+        hidden_size=768, intermediate_size=3072, num_layers=12, num_heads=12,
+        hidden_act="quick_gelu",
+    )
+
+
+def sdxl_text_encoder_2() -> CLIPTextConfig:
+    """SDXL's second tower: OpenCLIP ViT-bigG/14 (penultimate hidden states
+    + the pooled/projected text embedding for the addition-embeds path)."""
+    return CLIPTextConfig(
+        hidden_size=1280, intermediate_size=5120, num_layers=32, num_heads=20,
+        hidden_act="gelu",
+    )
+
+
 def clip_text_tiny() -> CLIPTextConfig:
     return CLIPTextConfig(
         vocab_size=128, hidden_size=16, intermediate_size=32,

@@ -52,12 +52,14 @@ def ddim_scan(
     etas: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
     collect_trajectory: bool = False,
+    collect_eps: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Scan x through the (t, t_next) pairs. Returns (x_final, trajectory).
 
     ``etas`` is a per-step array (requires ``key``); None → fully
-    deterministic. ``collect_trajectory`` stacks each step's output (used by
-    PSD/trajectory visualisation, reference edit.py:1632-1683).
+    deterministic. ``collect_trajectory`` stacks each step's output; with
+    ``collect_eps`` the trajectory is the pair (x_t stack, ε_t stack) —
+    both feed the PSD/trajectory visualisation (reference edit.py:1632-1709).
     """
     stochastic = etas is not None
     if stochastic and key is None:
@@ -81,7 +83,15 @@ def ddim_scan(
             et, xt, alpha_bar(schedule, t), alpha_bar(schedule, tn),
             eta=eta, noise=noise,
         )
-        return (out.prev_sample, k), (out.prev_sample if collect_trajectory else None)
+        if collect_trajectory and collect_eps:
+            ys = (out.prev_sample, et)
+        elif collect_trajectory:
+            ys = out.prev_sample
+        elif collect_eps:
+            ys = et
+        else:
+            ys = None
+        return (out.prev_sample, k), ys
 
     (x_final, _), traj = jax.lax.scan(
         body, (x, key), (timesteps, timesteps_next, etas)

@@ -84,6 +84,7 @@ def build_parser() -> argparse.ArgumentParser:
         "run_mcg_forward",
         "run_pfg_forward",
         "run_ddim_forward",
+        "vis_psd",
         "run_ddim_inversion",
         "run_edit_local_encoder_pullback_zt",
         "run_edit_local_decoder_pullback_zt",
@@ -150,7 +151,10 @@ def preset(args):
     seed_everything(args.seed)
 
     args.is_stable_diffusion = "stable-diffusion" in args.model_name
-    if args.is_stable_diffusion:
+    args.is_sdxl = args.is_stable_diffusion and "-xl-" in args.model_name
+    if args.is_sdxl:
+        args.exp = f"Stable_Diffusion_XL-{args.dataset_name}-{args.note}"
+    elif args.is_stable_diffusion:
         args.exp = f"Stable_Diffusion-{args.dataset_name}-{args.note}"
     else:
         known = {"CelebA_HQ_HF", "LSUN_church_HF", "LSUN_bedroom_HF", "FFHQ_HF"}
@@ -182,7 +186,9 @@ def preset(args):
         args.x_space_guidance_scale = X_SPACE_GUIDANCE_SCALE_DICT[family][args.h_t]
 
     # family-derived input geometry (reference :207-219)
-    if args.is_stable_diffusion:
+    if args.is_sdxl:
+        args.c_in, args.image_size, args.memory_bound = 4, 128, 1
+    elif args.is_stable_diffusion:
         args.c_in, args.image_size, args.memory_bound = 4, 64, 5
     elif "CIFAR10" in args.model_name:
         args.c_in, args.image_size, args.memory_bound = 3, 32, 50

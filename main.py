@@ -200,10 +200,159 @@ def build_sd(args):
     )
 
 
+def build_sdxl(args):
+    """SDXL flavour of build_sd: dual text towers, 0.13025 VAE scaling,
+    1024px geometry. Random init is the offline default (2.6B-param UNet —
+    pass --dtype bf16 for single-chip work)."""
+    import dataclasses
+
+    from diffusion_pullback_tpu.experiments import (
+        EditStableDiffusionXL,
+        SDExperimentConfig,
+    )
+    from diffusion_pullback_tpu.models import (
+        AutoencoderKL,
+        CLIPTextModel,
+        UNet2DCondition,
+        sd_vae,
+        sdxl_base_unet,
+        sdxl_text_encoder_1,
+        sdxl_text_encoder_2,
+    )
+    from diffusion_pullback_tpu.ops import DiffusionSchedule
+    from diffusion_pullback_tpu.utils.datasets import get_dataset
+    from diffusion_pullback_tpu.utils.logging import JSONLLogger
+
+    ucfg = sdxl_base_unet()
+    if args.dtype == "bf16":
+        ucfg = dataclasses.replace(ucfg, dtype="bfloat16",
+                                   remat_transformer=True)
+    if args.matmul_precision:
+        ucfg = dataclasses.replace(ucfg, precision=args.matmul_precision)
+    if args.attn_impl:
+        ucfg = dataclasses.replace(ucfg, attn_impl=args.attn_impl)
+    unet = UNet2DCondition(ucfg)
+    vae = AutoencoderKL(
+        dataclasses.replace(sd_vae(attn_impl=args.attn_impl),
+                            scaling_factor=0.13025)
+    )
+    text1 = CLIPTextModel(sdxl_text_encoder_1())
+    text2 = CLIPTextModel(sdxl_text_encoder_2())
+
+    s, c = ucfg.sample_size, ucfg.in_channels
+    z0 = jnp.zeros((1, s, s, c))
+    ctx0 = jnp.zeros((1, text1.config.max_length, ucfg.cross_attention_dim))
+    added0 = (jnp.zeros((1, ucfg.addition_embed_dim)), jnp.zeros((1, 6)))
+    x0 = jnp.zeros((1, args.image_size * 8, args.image_size * 8, 3))
+    ids0 = jnp.zeros((1, text1.config.max_length), jnp.int32)
+
+    # 2.57B-param UNet: bf16 weights halve HBM (fits one v5e chip); the cast
+    # is applied inside the producing program / before device upload so the
+    # f32 and bf16 copies never coexist on-chip
+    cast = (
+        (lambda t: jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, t))
+        if args.dtype == "bf16" else (lambda t: t)
+    )
+    if args.checkpoint_path:
+        from diffusion_pullback_tpu.models.convert import (
+            convert_torch_state_dict,
+            load_torch_checkpoint_file,
+        )
+
+        root = args.checkpoint_path
+
+        def load(model, init_fn, sub):
+            template = jax.eval_shape(init_fn, jax.random.key(0))
+            template = jax.tree.map(
+                lambda t: jnp.zeros(t.shape, t.dtype), template
+            )
+            sd = load_torch_checkpoint_file(os.path.join(root, sub))
+            return convert_torch_state_dict(sd, template)
+
+        unet_params = cast(load(
+            unet,
+            lambda k: unet.init(k, z0, jnp.float32(0.0), ctx0,
+                                added_cond=added0),
+            "unet/diffusion_pytorch_model.bin",
+        ))
+        vae_params = load(vae, lambda k: vae.init(k, x0),
+                          "vae/diffusion_pytorch_model.bin")
+        text_params_1 = load(text1, lambda k: text1.init(k, ids0),
+                             "text_encoder/pytorch_model.bin")
+        text_params_2 = load(
+            text2,
+            lambda k: text2.init(k, ids0, return_pooled=True),
+            "text_encoder_2/pytorch_model.bin",
+        )
+    else:
+        print("[main] no --checkpoint_path: deterministic random init (offline)")
+        unet_params = jax.jit(
+            lambda k: cast(unet.init(k, z0, jnp.float32(0.0), ctx0,
+                                     added_cond=added0))
+        )(jax.random.key(args.seed))
+        vae_params = jax.jit(lambda k: vae.init(k, x0))(
+            jax.random.key(args.seed + 1))
+        text_params_1 = jax.jit(lambda k: text1.init(k, ids0))(
+            jax.random.key(args.seed + 2))
+        text_params_2 = jax.jit(
+            lambda k: text2.init(k, ids0, return_pooled=True)
+        )(jax.random.key(args.seed + 3))
+
+    try:
+        dataset = get_dataset(
+            args.dataset_name or "noise", args.image_size * 8,
+            args.data_root or None,
+        )
+    except FileNotFoundError as e:
+        print(f"[main] {e}; falling back to offline noise dataset")
+        from diffusion_pullback_tpu.utils.datasets import NoiseDataset
+
+        dataset = NoiseDataset(args.image_size * 8)
+
+    exp_cfg = SDExperimentConfig(
+        dataset_name=args.dataset_name or "noise",
+        for_steps=args.for_steps,
+        inv_steps=args.inv_steps,
+        edit_t=args.edit_t,
+        seed=args.seed,
+        guidance_scale=args.guidance_scale,
+        for_prompt=args.for_prompt,
+        neg_prompt=args.neg_prompt,
+        inv_prompt=args.inv_prompt,
+        edit_prompt=args.edit_prompt,
+        x_space_guidance_edit_step=args.x_space_guidance_edit_step,
+        x_space_guidance_scale=args.x_space_guidance_scale or 1.0,
+        x_space_guidance_num_step=args.x_space_guidance_num_step or 16,
+        pca_rank=args.pca_rank,
+        loop_impl=args.loop_impl,
+        pullback_chunk_size=args.pullback_chunk_size or 1,
+        pullback_remat=True,
+        decode_chunk=1,
+        result_folder=args.result_folder,
+        obs_folder=args.obs_folder,
+        basis_folder=os.path.join(
+            "./inputs",
+            f"local_encoder_pullback_sdxl-dataset_{args.dataset_name}"
+            f"-num_steps_{args.for_steps}-pca_rank_{args.pca_rank}",
+        ),
+    )
+    logger = JSONLLogger(os.path.join(args.exp_folder, "log.jsonl"))
+    return EditStableDiffusionXL(
+        unet, unet_params, vae, vae_params,
+        text1, text_params_1, text2, text_params_2,
+        DiffusionSchedule.from_name("scaled_linear"), dataset, exp_cfg,
+        logger=logger,
+    )
+
+
 def main(argv=None):
     args = preset(parse_args(argv))
 
-    if args.is_stable_diffusion:
+    if getattr(args, "is_sdxl", False):
+        edit = build_sdxl(args)
+    elif args.is_stable_diffusion:
         edit = build_sd(args)
     else:
         edit = build_uncond(args)
@@ -282,9 +431,12 @@ def main(argv=None):
 
     if args.run_ddim_forward:
         fwd = getattr(edit, "run_DDIMforward", None) or edit.run_ddim_forward
+        kw = {"vis_psd": True} if (args.vis_psd and
+                                   fwd.__name__ == "run_ddim_forward") else {}
         fwd(
             num_samples=5,
             save_as=os.path.join(args.result_folder, "DDIMforward.png"),
+            **kw,
         )
 
     if args.run_ddim_inversion:

@@ -126,3 +126,16 @@ def test_sd_batched_harvest(sd_driver):
         idx=1, pca_rank=2, t_grid=(0.4, 0.8)
     )
     assert out2.keys() == out.keys()
+
+
+def test_decode_chunking_matches_full_batch(sd_driver):
+    """decode_chunk=k splits the VAE decode into fixed-size programs
+    (SDXL's 1024px frames OOM a chip when decoded as one batch); output
+    must equal the single-batch decode, including the uneven remainder."""
+    z = jax.random.normal(jax.random.key(7), (3, 8, 8, 4), jnp.float32)
+    full = sd_driver.decode_latents(z)
+    sd_driver.cfg.decode_chunk = 2
+    sd_driver._jit_cache.clear()
+    chunked = sd_driver.decode_latents(z)
+    sd_driver.cfg.decode_chunk = None
+    np.testing.assert_allclose(chunked, full, rtol=1e-5, atol=1e-6)

@@ -1,0 +1,122 @@
+"""End-to-end SDXL experiment on tiny configs: dual-tower prompt embed →
+VAE encode → inversion → pullback (addition-embeds conditioning) → edit →
+decode → PNGs. Mirrors tests/test_edit_sd_e2e.py for the XL driver."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_pullback_tpu.experiments import (
+    EditStableDiffusionXL,
+    SDExperimentConfig,
+)
+from diffusion_pullback_tpu.models import (
+    AutoencoderKL,
+    CLIPTextModel,
+    UNet2DCondition,
+    clip_text_tiny,
+    sdxl_tiny_unet,
+    vae_tiny,
+)
+from diffusion_pullback_tpu.ops import DiffusionSchedule
+from diffusion_pullback_tpu.utils.datasets import NoiseDataset
+from diffusion_pullback_tpu.utils.logging import JSONLLogger
+
+
+@pytest.fixture()
+def xl_driver(tmp_path):
+    # sdxl_tiny_unet: context 16 (= two towers of 8), addition_embed_dim 8
+    ucfg = sdxl_tiny_unet(8)
+    tcfg = dataclasses.replace(clip_text_tiny(), hidden_size=8,
+                               intermediate_size=16)
+    unet = UNet2DCondition(ucfg)
+    vae = AutoencoderKL(
+        dataclasses.replace(vae_tiny(16), scaling_factor=0.13025)
+    )
+    t1, t2 = CLIPTextModel(tcfg), CLIPTextModel(tcfg)
+
+    z0 = jnp.zeros((1, 8, 8, 4))
+    ctx0 = jnp.zeros((1, tcfg.max_length, 16))
+    added0 = (jnp.zeros((1, 8)), jnp.zeros((1, 6)))
+    ids0 = jnp.zeros((1, tcfg.max_length), jnp.int32)
+
+    up = unet.init(jax.random.key(0), z0, jnp.float32(0.0), ctx0,
+                   added_cond=added0)
+    vp = vae.init(jax.random.key(1), jnp.zeros((1, 16, 16, 3)))
+    tp1 = t1.init(jax.random.key(2), ids0, return_pooled=True,
+                  penultimate=True)
+    tp2 = t2.init(jax.random.key(3), ids0, return_pooled=True,
+                  penultimate=True)
+
+    cfg = SDExperimentConfig(
+        dataset_name="noise",
+        for_steps=8,
+        inv_steps=8,
+        edit_t=0.6,
+        edit_prompt="a test prompt",
+        pca_rank=4,
+        pullback_min_iter=2,
+        pullback_max_iter=3,
+        x_space_guidance_num_step=3,
+        vis_num=2,
+        vis_num_pc=1,
+        result_folder=str(tmp_path / "runs"),
+        obs_folder=str(tmp_path / "obs"),
+        basis_folder=str(tmp_path / "inputs"),
+    )
+    return EditStableDiffusionXL(
+        unet, up, vae, vp, t1, tp1, t2, tp2,
+        DiffusionSchedule.scaled_linear(), NoiseDataset(16, n=2), cfg,
+        logger=JSONLLogger(path=None, echo=False),
+    )
+
+
+def test_xl_prompt_embedding_shapes(xl_driver):
+    ctx, pooled = xl_driver.edit_prompt_emb
+    # two 8-wide towers concatenated + bigG-tower pooled feature
+    assert ctx.shape == (1, 8, 16)
+    assert pooled.shape == (1, 8)
+    # distinct prompts → distinct embeddings (hash tokenizer determinism)
+    ctx2, _ = xl_driver._get_emb("another prompt entirely")
+    assert not np.allclose(np.asarray(ctx), np.asarray(ctx2))
+
+
+def test_xl_end_to_end_edit(xl_driver):
+    names = xl_driver.run_edit_local_encoder_pullback_zt(idx=0)
+    assert len(names) == 2
+    for n in names:
+        assert os.path.exists(
+            os.path.join(xl_driver.cfg.result_folder, n + ".png")
+        ), n
+    # idempotent rerun
+    assert xl_driver.run_edit_local_encoder_pullback_zt(idx=0) == names
+
+
+def test_xl_forward_and_cfg(xl_driver, tmp_path):
+    x0 = xl_driver.run_DDIMforward(num_samples=2,
+                                   save_as=str(tmp_path / "f.png"))
+    assert x0.shape == (2, 16, 16, 3)
+    # CFG path fuses [neg; for] with pooled embeds into one 2·B batch
+    xl_driver.cfg.guidance_scale = 3.0
+    eps = xl_driver.eps_with(
+        xl_driver.unet_params, xl_driver.for_prompt_emb,
+        xl_driver.neg_prompt_emb,
+    )
+    out = jax.jit(eps)(jnp.zeros((2, 8, 8, 4)), jnp.float32(100.0))
+    assert out.shape == (2, 8, 8, 4)
+
+
+def test_xl_penultimate_differs_from_final(xl_driver):
+    """The towers are read at the penultimate layer (HF hidden_states[-2],
+    no final LN) — must differ from the final normalized hidden states."""
+    ids = jnp.asarray(xl_driver.tokenizer_1(["same prompt"]))
+    final = xl_driver.text_model_1.apply(xl_driver.text_params_1, ids)
+    penult = xl_driver.text_model_1.apply(
+        xl_driver.text_params_1, ids, penultimate=True
+    )
+    assert final.shape == penult.shape
+    assert not np.allclose(np.asarray(final), np.asarray(penult))

@@ -143,3 +143,35 @@ def test_harvest_ablations(driver):
     _, s_ft, _ = driver.cache.load(name_b + "-fix_t")
     assert not np.allclose(s_b, s_fx, rtol=1e-3)
     assert not np.allclose(s_b, s_ft, rtol=1e-3)
+
+
+def test_psd_visualization(tmp_path):
+    """Working spec of the reference's broken vis_psd path: PSD curves per
+    trajectory frame; spectral ordering sanity on known signals."""
+    import numpy as np
+
+    from diffusion_pullback_tpu.experiments.vis import (
+        radial_psd,
+        vis_power_spectral_density,
+    )
+
+    rng = np.random.default_rng(0)
+    # white noise: flat-ish spectrum; smooth image: low-frequency dominated
+    noise = rng.normal(size=(16, 16, 3)).astype(np.float32)
+    yy, xx = np.mgrid[0:16, 0:16] / 16.0
+    smooth = np.repeat((np.sin(2 * np.pi * yy))[..., None], 3, -1).astype(
+        np.float32
+    )
+    p_noise, p_smooth = radial_psd(noise), radial_psd(smooth)
+    # single-cycle sine: the fundamental (bin 1) carries everything
+    assert p_smooth[1:3].sum() / max(p_smooth[1:].sum(), 1e-9) > 0.99
+    assert p_noise[1:3].sum() / max(p_noise[1:].sum(), 1e-9) < 0.5
+
+    out = str(tmp_path / "psd.png")
+    curves = vis_power_spectral_density(
+        [noise[None], smooth[None]], out
+    )
+    assert curves.shape[0] == 2
+    import os
+
+    assert os.path.exists(out)
