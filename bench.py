@@ -102,6 +102,59 @@ def bench_sd_pullback():
     }))
 
 
+def bench_sdxl_pullback():
+    """Optional (--sdxl): SDXL-base 1024px mid-tap pullback (BASELINE
+    config 5 shape) with random-init bf16 weights on one chip — r=2,
+    3 iterations, probe chunking + remat (the single-chip memory recipe)."""
+    import dataclasses
+
+    from diffusion_pullback_tpu.models import UNet2DCondition, sdxl_base_unet
+    from diffusion_pullback_tpu.models.unet2d_condition import UNet2DCondition as U
+
+    cfg = dataclasses.replace(
+        sdxl_base_unet(), dtype="bfloat16", remat_transformer=True,
+        attn_impl="blockwise",
+    )
+    unet = UNet2DCondition(cfg)
+    z = jax.random.normal(jax.random.key(0), (1, 128, 128, 4), jnp.float32)
+    ctx = jax.random.normal(jax.random.key(1), (1, 77, 2048), jnp.float32)
+    added = (jax.random.normal(jax.random.key(2), (1, 1280), jnp.float32),
+             jnp.asarray([[1024., 1024., 0., 0., 1024., 1024.]]))
+    t = jnp.float32(699.3)
+    to_bf16 = lambda tree: jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, tree
+    )
+    params = jax.jit(
+        lambda k: to_bf16(unet.init(k, z, t, ctx, added_cond=added))
+    )(jax.random.key(3))
+
+    tap = TapPoint("mid", 0)
+    RANK, ITERS = 2, 3
+    pull = jax.jit(
+        lambda p, zz, c, k: local_pullback(
+            lambda q: unet.apply(p, q, t, c, tap, added_cond=added,
+                                 method=U.encode),
+            zz, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS, atol=0.0,
+            chunk_size=1, remat=True,
+        )
+    )
+    jax.block_until_ready(pull(params, z, ctx, jax.random.key(4)))
+    t0 = time.perf_counter()
+    res = pull(params, z, ctx, jax.random.key(4))
+    jax.block_until_ready(res)
+    sec = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "sdxl1024_mid_tap_pullback",
+        "value": round(sec, 4),
+        "unit": "s",
+        "vs_baseline": round(NORTH_STAR_SECONDS / sec, 3),
+        "jvp_evals_per_sec": round((ITERS * 2 * RANK + RANK) / sec, 2),
+        "pca_rank": RANK,
+        "power_iters": ITERS,
+        "dtype": "bfloat16",
+    }))
+
+
 def main():
     import dataclasses
 
@@ -207,7 +260,9 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--sd" in sys.argv:
+    if "--sdxl" in sys.argv:
+        bench_sdxl_pullback()
+    elif "--sd" in sys.argv:
         bench_sd_pullback()
     else:
         main()
