@@ -506,6 +506,39 @@ class EditUncondDiffusion:
             atol=self.cfg.pullback_atol,
         )
 
+    def run_edit_local_decoder_pullback_xt(
+        self,
+        idx: int,
+        op: str = "mid",
+        block_idx: int = 0,
+        pca_rank: int = 2,
+        vis_num: Optional[int] = None,
+        vis_num_pc: Optional[int] = None,
+        x0_pullback: bool = False,
+    ):
+        """Decoder-pullback edit: top h-directions by *decoder* sensitivity
+        (∂ε/∂h, or ∂x̂₀/∂h with ``x0_pullback``), pulled to x-space through
+        the encoder Jᵀ, then the standard guidance edit. Completes the
+        reference's declared-but-never-dispatched
+        --run_edit_local_(x0_)decoder_pullback_zt flags
+        (define_argparser.py:100-101; the basis math is utils.py:818-898 /
+        diffusion.py:634-707)."""
+        cfg = self.cfg
+        vis_num = vis_num or cfg.vis_num
+        vis_num_pc = vis_num_pc or cfg.vis_num_pc
+        tap = TapPoint(op, block_idx)
+        xT = self.run_ddim_inversion(idx)
+        xt = self.forward_to_edit_t(xT)
+        t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
+        res = self.compute_local_decoder_basis(
+            xt, t_edit, tap, pca_rank, x0_pullback
+        )
+        # decoder right-singular vectors live in h-space → (dim_h, k)
+        tag = "local_dec_x0" if x0_pullback else "local_dec"
+        return self._edit_with_global_h_basis(
+            idx, res.vT.T, op, block_idx, vis_num, vis_num_pc, tag
+        )
+
     def _harvest_bases(self, sample_indices, op, block_idx, pca_rank):
         """Pullback bases (cached) for a set of samples at edit_t."""
         cfg = self.cfg

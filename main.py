@@ -385,6 +385,19 @@ def main(argv=None):
             op="mid", block_idx=0, vis_num=4, vis_num_pc=2, pca_rank=50,
         )
 
+    if args.run_edit_local_decoder_pullback_zt or \
+            args.run_edit_local_x0_decoder_pullback_zt:
+        if not hasattr(edit, "run_edit_local_decoder_pullback_xt"):
+            raise SystemExit(
+                "--run_edit_local_(x0_)decoder_pullback_zt is only "
+                "implemented for the uncond family"
+            )
+        edit.run_edit_local_decoder_pullback_xt(
+            idx=args.sample_idx, op="mid", block_idx=0,
+            pca_rank=args.pca_rank or 2,
+            x0_pullback=bool(args.run_edit_local_x0_decoder_pullback_zt),
+        )
+
     if args.run_edit_local_pca_zt:
         if not hasattr(edit, "run_edit_local_pca_xt"):
             raise SystemExit(

@@ -87,3 +87,21 @@ def test_tangent_space_harvest(driver):
     assert len(saved) == 2
     for p in saved.values():
         assert os.path.exists(p)
+
+
+def test_decoder_pullback_edit(driver):
+    """Decoder-sensitivity directions pulled to x via encoder Jᵀ → edit PNGs
+    (completes the reference's undispatched decoder-pullback flags)."""
+    names = driver.run_edit_local_decoder_pullback_xt(
+        idx=0, pca_rank=2, vis_num=2, vis_num_pc=1
+    )
+    assert len(names) == 2
+    for n in names:
+        assert os.path.exists(
+            os.path.join(driver.cfg.result_folder, n + ".png")
+        ), n
+    # Tweedie x0-map variant
+    names_x0 = driver.run_edit_local_decoder_pullback_xt(
+        idx=0, pca_rank=2, vis_num=2, vis_num_pc=1, x0_pullback=True
+    )
+    assert names_x0 != names
