@@ -598,6 +598,60 @@ class EditUncondDiffusion:
                 )
         return self._edit_along_directions(xt, vks, names, vis_num)
 
+    def run_edit_global_pca_xt(
+        self,
+        idx: int,
+        num_samples: int = 16,
+        op: str = "mid",
+        block_idx: int = 0,
+        pca_rank: int = 2,
+        vis_num: Optional[int] = None,
+        vis_num_pc: Optional[int] = None,
+        key=None,
+    ):
+        """Global-PCA edit (reference global_pca_zt, utils.py:978-1026, flag
+        --run_edit_global_pca_zt declared but never dispatched): PCA the
+        tapped h-features of a *population* of samples at edit_t — one jit
+        computes forward-to-t + taps + PCA (the reference chunks batches
+        through the GPU and PCAs on CPU) — then pull the mean directions to
+        x-space at the target sample and run the guidance edit."""
+        from ..geometry.pca import global_pca
+
+        cfg = self.cfg
+        vis_num = vis_num or cfg.vis_num
+        vis_num_pc = vis_num_pc or cfg.vis_num_pc
+        tap = TapPoint(op, block_idx)
+        key = jax.random.key(cfg.seed) if key is None else key
+        t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
+        size = self.model.config.sample_size
+
+        def harvest(p, k):
+            xT = jax.random.normal(
+                k, (num_samples, size, size, 3), jnp.float32
+            )
+            xt = ddim_forward(
+                self._eps_with(p), xT, self.schedule, self.fwd_grid,
+                start_idx=0, end_idx=self.edit_t_idx,
+            )
+            h = self.model.apply(p, xt, t_edit, tap, method=UNet2D.encode)
+            return global_pca(h, rank=pca_rank)
+
+        run = self._jitted(f"global_pca_{tap}_{num_samples}_{pca_rank}",
+                           harvest)
+        t0 = time.perf_counter()
+        res = run(self.params, key)
+        jax.block_until_ready(res.components)
+        self.log.log(
+            "global_pca_harvest", num_samples=num_samples,
+            seconds=time.perf_counter() - t0,
+            top_var=np.asarray(res.variances[:3]).round(4),
+        )
+        # components are unit h-directions: (k, dim_h) → (dim_h, k)
+        return self._edit_with_global_h_basis(
+            idx, res.components.T, op, block_idx, vis_num, vis_num_pc,
+            "global_pca",
+        )
+
     def run_edit_global_frechet_mean_xt(
         self, idx, basis_indices, op="mid", block_idx=0, pca_rank=10,
         vis_num=4, vis_num_pc=2,

@@ -398,6 +398,18 @@ def main(argv=None):
             x0_pullback=bool(args.run_edit_local_x0_decoder_pullback_zt),
         )
 
+    if args.run_edit_global_pca_zt:
+        if not hasattr(edit, "run_edit_global_pca_xt"):
+            raise SystemExit(
+                "--run_edit_global_pca_zt is only implemented for the "
+                "uncond family"
+            )
+        edit.run_edit_global_pca_xt(
+            idx=args.sample_idx, op="mid", block_idx=0,
+            pca_rank=args.pca_rank or 2,
+            num_samples=args.num_local_basis or 16,
+        )
+
     if args.run_edit_local_pca_zt:
         if not hasattr(edit, "run_edit_local_pca_xt"):
             raise SystemExit(

@@ -105,3 +105,16 @@ def test_decoder_pullback_edit(driver):
         idx=0, pca_rank=2, vis_num=2, vis_num_pc=1, x0_pullback=True
     )
     assert names_x0 != names
+
+
+def test_global_pca_edit(driver):
+    """Population h-PCA directions → Jᵀ → guidance edit (reference
+    global_pca_zt flag, declared but never dispatched)."""
+    names = driver.run_edit_global_pca_xt(
+        idx=0, num_samples=4, pca_rank=2, vis_num=2, vis_num_pc=1
+    )
+    assert len(names) == 2
+    for n in names:
+        assert os.path.exists(
+            os.path.join(driver.cfg.result_folder, n + ".png")
+        ), n
