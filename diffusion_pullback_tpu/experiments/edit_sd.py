@@ -136,6 +136,21 @@ class EditStableDiffusion:
             params, z, t, prompt_emb, tap, method=UNet2DCondition.encode
         )
 
+    def _tap_encode_with_state(self, params, z, t, prompt_emb, tap: TapPoint):
+        """(h, resume-state) at the tap — reference get_h + the skip stack
+        (utils.py:438-635)."""
+        return self.unet.apply(
+            params, z, t, prompt_emb, tap,
+            method=UNet2DCondition.encode_with_state,
+        )
+
+    def _tap_decode_with_state(self, params, h, state, tap: TapPoint):
+        """Resume the U-Net from a (possibly perturbed) tapped h → ε
+        (reference get_h_to_e, utils.py:529-635)."""
+        return self.unet.apply(
+            params, h, state, tap, method=UNet2DCondition.decode_with_state
+        )
+
     # ---- eps functions ----------------------------------------------------
 
     def eps_with(self, params, prompt_emb, cfg_neg_emb=None):
@@ -365,10 +380,19 @@ class EditStableDiffusion:
                     f"-block_{block_idx}-pc_{pc:03d}_{tag}"
                     f"-edit_prompt_{cfg.edit_prompt}"
                 )
+        return self._edit_along_directions(zt, vks, names, vis_num)
+
+    def _edit_along_directions(self, zt, vks, names, vis_num):
+        """Shared tail of the SD editing experiments: vmapped x-space-guidance
+        walks (edit-prompt conditioned, edit.py:484-502) over the direction
+        batch, finish sampling, VAE decode, PNG grids with skip-if-exists
+        idempotency."""
+        cfg = self.cfg
+        t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
         todo = [i for i, n in enumerate(names) if not os.path.exists(
             os.path.join(cfg.result_folder, n + ".png"))]
         if not todo:
-            self.log.log("all_edits_cached", idx=idx)
+            self.log.log("all_edits_cached")
             return names
         vk_batch = jnp.stack([vks[i] for i in todo])
 
@@ -411,6 +435,252 @@ class EditStableDiffusion:
                 imgs, os.path.join(cfg.result_folder, names[i] + ".png")
             )
         return names
+
+    # ---- decoder pullback / PCA edits (SD flavour) --------------------------
+
+    def compute_local_decoder_basis(
+        self, zt, t, tap: TapPoint, pca_rank: int, x0_pullback: bool = False
+    ):
+        """Top-k triplets of ∂ε/∂h (or of the Tweedie map ∂ẑ₀/∂h with
+        ``x0_pullback``) at the tapped SD U-Net feature — reference
+        local_decoder_pullback_zt bound to the SD model
+        (/root/reference/src/utils/utils.py:818-898)."""
+        run = self._jitted(
+            f"sd_dec_pullback_{tap}_{pca_rank}_{x0_pullback}",
+            lambda p, emb, z, tt, k: self._decoder_pullback_impl(
+                p, emb, z, tt, tap, pca_rank, x0_pullback, k
+            ),
+        )
+        t0 = time.perf_counter()
+        res = run(self.unet_params, self.edit_prompt_emb, zt, t,
+                  jax.random.key(self.cfg.seed))
+        jax.block_until_ready(res)
+        self.log.log(
+            "sd_decoder_pullback",
+            seconds=time.perf_counter() - t0,
+            iterations=int(res.iterations),
+            top_s=np.asarray(res.s[:3]).round(4),
+        )
+        return res
+
+    def _decoder_pullback_impl(self, p, emb, zt, t, tap, pca_rank,
+                               x0_pullback, key):
+        from ..ops.ddim import predict_x0
+        from ..ops.schedule import alpha_bar
+
+        h, state = self._tap_encode_with_state(p, zt, t, emb, tap)
+
+        def decode_fn(hh):
+            eps = self._tap_decode_with_state(p, hh, state, tap)
+            if x0_pullback:
+                return predict_x0(eps, zt, alpha_bar(self.schedule, t))
+            return eps
+
+        return local_pullback(
+            decode_fn, h, key, pca_rank=pca_rank,
+            min_iter=self.cfg.pullback_min_iter,
+            max_iter=self.cfg.pullback_max_iter,
+            atol=self.cfg.pullback_atol,
+            remat=self.cfg.pullback_remat,
+        )
+
+    def run_edit_local_decoder_pullback_zt(
+        self,
+        idx: int,
+        op: str = "mid",
+        block_idx: int = 0,
+        pca_rank: int = 2,
+        vis_num: Optional[int] = None,
+        vis_num_pc: Optional[int] = None,
+        x0_pullback: bool = False,
+        edit_prompt: Optional[str] = None,
+    ):
+        """Decoder-pullback edit on the SD driver: top h-directions by
+        decoder sensitivity (∂ε/∂h, or ∂ẑ₀/∂h with ``x0_pullback``), pulled
+        to latent space through the encoder Jᵀ, then the standard guidance
+        edit. Reference binds local_decoder_pullback_zt to the SD U-Net
+        (utils.py:818-898) but never dispatches the flag."""
+        cfg = self.cfg
+        if edit_prompt is not None:
+            cfg.edit_prompt = edit_prompt
+            self.edit_prompt_emb = self._get_emb(edit_prompt)
+        vis_num = vis_num or cfg.vis_num
+        vis_num_pc = vis_num_pc or cfg.vis_num_pc
+        tap = TapPoint(op, block_idx)
+        zT = self.run_DDIMinversion(idx)
+        zt = self.DDIMforwardsteps(zT, 0, self.edit_t_idx)
+        t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
+        res = self.compute_local_decoder_basis(
+            zt, t_edit, tap, pca_rank, x0_pullback
+        )
+        # decoder right-singular vectors live in h-space → (dim_h, k)
+        tag = "local_dec_x0" if x0_pullback else "local_dec"
+        return self._edit_with_global_h_basis(
+            idx, res.vT.T, op, block_idx, vis_num, vis_num_pc, tag
+        )
+
+    def _edit_with_global_h_basis(self, idx, u_mean, op, block_idx,
+                                  vis_num, vis_num_pc, tag):
+        """Map h-space directions to latent space at the target sample via
+        Jᵀ of the edit-prompt-conditioned encoder (the reference's
+        inverse-Jacobian trick, utils.py:1117-1160) and run the guidance
+        edit."""
+        from ..geometry.pullback import pullback_covector
+
+        cfg = self.cfg
+        tap = TapPoint(op, block_idx)
+        zT = self.run_DDIMinversion(idx)
+        zt = self.DDIMforwardsteps(zT, 0, self.edit_t_idx)
+        t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
+        h_shape = jax.eval_shape(
+            lambda z: self._tap_encode(
+                self.unet_params, z, t_edit, self.edit_prompt_emb, tap
+            ),
+            zt,
+        ).shape
+
+        inv = self._jitted(
+            f"sd_inv_jac_{tap}",
+            lambda p, emb, z, tt, u: pullback_covector(
+                lambda zz: self._tap_encode(p, zz, tt, emb, tap), z, u
+            ),
+        )
+        shape = zt.shape[1:]
+        vks, names = [], []
+        for pc in range(vis_num_pc):
+            v = inv(self.unet_params, self.edit_prompt_emb, zt, t_edit,
+                    u_mean[:, pc].reshape(h_shape))
+            v = v / jnp.linalg.norm(v)
+            for sign, stag in ((1.0, "pos"), (-1.0, "neg")):
+                vks.append(sign * v.reshape(shape))
+                names.append(
+                    f"Edit_{tag}-{cfg.dataset_name}_{idx}-edit_{cfg.edit_t}T"
+                    f"-{op}-block_{block_idx}-pc_{pc:03d}_{stag}"
+                    f"-edit_prompt_{cfg.edit_prompt}"
+                )
+        return self._edit_along_directions(zt, vks, names, vis_num)
+
+    def run_edit_local_pca_zt(
+        self,
+        idx: int,
+        op: str = "mid",
+        block_idx: int = 0,
+        pca_rank: int = 8,
+        num_samples: int = 1024,
+        sigma: float = 0.1,
+        vis_num: Optional[int] = None,
+        vis_num_pc: Optional[int] = None,
+        edit_prompt: Optional[str] = None,
+    ):
+        """Edit along local-PCA h-directions mapped to latent space via Jᵀ —
+        the reference's local_pca_zt on the SD U-Net (utils.py:900-975:
+        50k perturbed-h samples through pca_lowrank, CPU-staged) as a
+        streaming on-device sketch."""
+        from ..geometry.pca import local_pca, pca_to_x_direction
+
+        cfg = self.cfg
+        if edit_prompt is not None:
+            cfg.edit_prompt = edit_prompt
+            self.edit_prompt_emb = self._get_emb(edit_prompt)
+        vis_num = vis_num or cfg.vis_num
+        vis_num_pc = vis_num_pc or cfg.vis_num_pc
+        tap = TapPoint(op, block_idx)
+        zT = self.run_DDIMinversion(idx)
+        zt = self.DDIMforwardsteps(zT, 0, self.edit_t_idx)
+        t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
+
+        run = self._jitted(
+            f"sd_local_pca_{tap}_{pca_rank}_{num_samples}_{sigma}",
+            lambda p, emb, z, tt, k: local_pca(
+                lambda zz: self._tap_encode(p, zz, tt, emb, tap),
+                z, k, rank=pca_rank, num_samples=num_samples,
+                chunk=min(16, num_samples), sigma=sigma,
+            ),
+        )
+        t0 = time.perf_counter()
+        pca = run(self.unet_params, self.edit_prompt_emb, zt, t_edit,
+                  jax.random.key(cfg.seed))
+        jax.block_until_ready(pca)
+        self.log.log("sd_local_pca", seconds=time.perf_counter() - t0,
+                     top_var=np.asarray(pca.variances[:3]).round(5))
+
+        to_x = self._jitted(
+            f"sd_pca_to_x_{tap}",
+            lambda p, emb, z, tt, comp: pca_to_x_direction(
+                lambda zz: self._tap_encode(p, zz, tt, emb, tap), z, comp
+            ),
+        )
+        shape = zt.shape[1:]
+        vks, names = [], []
+        for pc in range(vis_num_pc):
+            v = to_x(self.unet_params, self.edit_prompt_emb, zt, t_edit,
+                     pca.components[pc])
+            for sign, tag in ((1.0, "pos"), (-1.0, "neg")):
+                vks.append(sign * v.reshape(shape))
+                names.append(
+                    f"Edit_local_pca-{cfg.dataset_name}_{idx}"
+                    f"-edit_{cfg.edit_t}T-{op}-block_{block_idx}"
+                    f"-pc_{pc:03d}_{tag}-edit_prompt_{cfg.edit_prompt}"
+                )
+        return self._edit_along_directions(zt, vks, names, vis_num)
+
+    def run_edit_global_pca_zt(
+        self,
+        idx: int,
+        num_samples: int = 16,
+        op: str = "mid",
+        block_idx: int = 0,
+        pca_rank: int = 2,
+        vis_num: Optional[int] = None,
+        vis_num_pc: Optional[int] = None,
+        key=None,
+        edit_prompt: Optional[str] = None,
+    ):
+        """Global-PCA edit on the SD driver (reference global_pca_zt bound to
+        the SD U-Net, utils.py:978-1026): PCA the tapped h-features of a
+        population of sampled latents at edit_t in one jit, then pull the
+        principal h-directions to latent space at the target sample and run
+        the guidance edit."""
+        from ..geometry.pca import global_pca
+
+        cfg = self.cfg
+        if edit_prompt is not None:
+            cfg.edit_prompt = edit_prompt
+            self.edit_prompt_emb = self._get_emb(edit_prompt)
+        vis_num = vis_num or cfg.vis_num
+        vis_num_pc = vis_num_pc or cfg.vis_num_pc
+        tap = TapPoint(op, block_idx)
+        key = jax.random.key(cfg.seed) if key is None else key
+        t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
+        s = self.unet.config.sample_size
+        c = self.unet.config.in_channels
+
+        def harvest(p, fe, ne, ee, k):
+            zT = jax.random.normal(k, (num_samples, s, s, c), jnp.float32)
+            zt = ddim_forward(
+                self.eps_with(p, fe, ne), zT, self.schedule, self.fwd_grid,
+                start_idx=0, end_idx=self.edit_t_idx,
+            )
+            h = self._tap_encode(p, zt, t_edit, ee, tap)
+            return global_pca(h, rank=pca_rank)
+
+        run = self._jitted(
+            f"sd_global_pca_{tap}_{num_samples}_{pca_rank}", harvest
+        )
+        t0 = time.perf_counter()
+        res = run(self.unet_params, self.for_prompt_emb, self.neg_prompt_emb,
+                  self.edit_prompt_emb, key)
+        jax.block_until_ready(res.components)
+        self.log.log(
+            "sd_global_pca_harvest", num_samples=num_samples,
+            seconds=time.perf_counter() - t0,
+            top_var=np.asarray(res.variances[:3]).round(4),
+        )
+        # components are unit h-directions: (k, dim_h) → (dim_h, k)
+        return self._edit_with_global_h_basis(
+            idx, res.components.T, op, block_idx, vis_num, vis_num_pc,
+            "global_pca",
+        )
 
     def run_sample_encoder_local_tangent_space_zt_batched(
         self,

@@ -342,12 +342,24 @@ class EditUncondDiffusion:
             )
         return names
 
-    # reference-name alias (main.py dispatches run_edit_local_encoder_pullback_zt
-    # for both families, reference main.py:30-34)
+    # reference-name aliases (main.py dispatches the `_zt` names for both
+    # families, reference main.py:30-34; uncond has no prompt conditioning)
     def run_edit_local_encoder_pullback_zt(self, *a, **kw):
-        kw.pop("edit_prompt", None)  # uncond has no prompt conditioning
+        kw.pop("edit_prompt", None)
         kw.pop("edit_t", None)
         return self.run_edit_local_encoder_pullback_xt(*a, **kw)
+
+    def run_edit_local_decoder_pullback_zt(self, *a, **kw):
+        kw.pop("edit_prompt", None)
+        return self.run_edit_local_decoder_pullback_xt(*a, **kw)
+
+    def run_edit_local_pca_zt(self, *a, **kw):
+        kw.pop("edit_prompt", None)
+        return self.run_edit_local_pca_xt(*a, **kw)
+
+    def run_edit_global_pca_zt(self, *a, **kw):
+        kw.pop("edit_prompt", None)
+        return self.run_edit_global_pca_xt(*a, **kw)
 
     # ---- secondary geometry experiments ----------------------------------
 

@@ -387,35 +387,24 @@ def main(argv=None):
 
     if args.run_edit_local_decoder_pullback_zt or \
             args.run_edit_local_x0_decoder_pullback_zt:
-        if not hasattr(edit, "run_edit_local_decoder_pullback_xt"):
-            raise SystemExit(
-                "--run_edit_local_(x0_)decoder_pullback_zt is only "
-                "implemented for the uncond family"
-            )
-        edit.run_edit_local_decoder_pullback_xt(
+        # both families (reference binds local_decoder_pullback_zt to the SD
+        # U-Net, utils.py:818-898, and ships the pixel variant on the custom
+        # DDPM, diffusion.py:558-707, but never dispatches the flags)
+        edit.run_edit_local_decoder_pullback_zt(
             idx=args.sample_idx, op="mid", block_idx=0,
             pca_rank=args.pca_rank or 2,
             x0_pullback=bool(args.run_edit_local_x0_decoder_pullback_zt),
         )
 
     if args.run_edit_global_pca_zt:
-        if not hasattr(edit, "run_edit_global_pca_xt"):
-            raise SystemExit(
-                "--run_edit_global_pca_zt is only implemented for the "
-                "uncond family"
-            )
-        edit.run_edit_global_pca_xt(
+        edit.run_edit_global_pca_zt(
             idx=args.sample_idx, op="mid", block_idx=0,
             pca_rank=args.pca_rank or 2,
             num_samples=args.num_local_basis or 16,
         )
 
     if args.run_edit_local_pca_zt:
-        if not hasattr(edit, "run_edit_local_pca_xt"):
-            raise SystemExit(
-                "--run_edit_local_pca_zt is only implemented for the "
-                "unconditional family in round 1")
-        edit.run_edit_local_pca_xt(
+        edit.run_edit_local_pca_zt(
             idx=args.sample_idx, op="mid", block_idx=0,
             pca_rank=max(args.pca_rank, 4), vis_num=4, vis_num_pc=2,
         )
