@@ -155,6 +155,56 @@ def bench_sdxl_pullback():
     }))
 
 
+def bench_mesh_pullback():
+    """Optional (--mesh): probe-sharded CelebA-256 pullback over every
+    visible device (a real TPU slice, or the virtual CPU mesh under
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8).
+    Single-device falls back to the unsharded kernel — numbers match the
+    default bench."""
+    from diffusion_pullback_tpu.parallel import make_mesh, make_sharded_pullback
+
+    n_dev = len(jax.devices())
+    cfg = ddpm_celebahq_256()
+    model = UNet2D(cfg)
+    x = jax.random.normal(jax.random.key(1), (1, 256, 256, 3), jnp.float32)
+    t_edit = jnp.float32(699.3)
+    params = jax.jit(lambda k: model.init(k, x, t_edit))(jax.random.key(0))
+    tap = TapPoint("mid", 0)
+    RANK = 8 * max(1, n_dev) if n_dev > 1 else 8
+    ITERS = 5
+
+    if n_dev > 1:
+        mesh = make_mesh(("probe",))
+        runner = make_sharded_pullback(
+            lambda zz, p: model.apply(p, zz, t_edit, tap, method=UNet2D.encode),
+            mesh, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS, atol=0.0,
+        )
+        run = lambda: runner(x, jax.random.key(2), params)
+    else:
+        pull = jax.jit(
+            lambda p, z, k: local_pullback(
+                lambda zz: model.apply(p, zz, t_edit, tap, method=UNet2D.encode),
+                z, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS, atol=0.0,
+            )
+        )
+        run = lambda: pull(params, x, jax.random.key(2))
+
+    jax.block_until_ready(run())  # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(run())
+    sec = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": f"celebahq256_pullback_probe_sharded_{n_dev}dev",
+        "value": round(sec, 4),
+        "unit": "s",
+        "vs_baseline": round(NORTH_STAR_SECONDS / sec, 3),
+        "jvp_evals_per_sec": round((ITERS * 2 * RANK + RANK) / sec, 2),
+        "pca_rank": RANK,
+        "power_iters": ITERS,
+        "n_devices": n_dev,
+    }))
+
+
 def main():
     import dataclasses
 
@@ -264,5 +314,7 @@ if __name__ == "__main__":
         bench_sdxl_pullback()
     elif "--sd" in sys.argv:
         bench_sd_pullback()
+    elif "--mesh" in sys.argv:
+        bench_mesh_pullback()
     else:
         main()

@@ -62,6 +62,9 @@ class SDExperimentConfig:
     pullback_atol: float = 1e-4
     pullback_chunk_size: Optional[int] = None
     pullback_remat: bool = False
+    # device mesh (jax.sharding.Mesh) — 'probe' axis shards the power
+    # iteration, 'dp' shards sweep axes; None = single device
+    mesh: Optional[object] = None
     # decode at most this many latents per device program (None = all at
     # once) — SDXL decodes 1024px frames; chunking bounds VAE activations
     decode_chunk: Optional[int] = None
@@ -116,6 +119,15 @@ class EditStableDiffusion:
         self.log.log("sd_prompts_embedded", seconds=time.perf_counter() - t0)
 
         self._jit_cache = {}
+
+        # replicate weights over the configured mesh once so every jitted
+        # program (mesh-sharded or not) sees consistently-placed inputs
+        if config.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            repl = NamedSharding(config.mesh, PartitionSpec())
+            self.unet_params = jax.device_put(self.unet_params, repl)
+            self.vae_params = jax.device_put(self.vae_params, repl)
 
     # ---- prompt / tap hooks (overridden by the SDXL driver) ----------------
 
@@ -183,9 +195,23 @@ class EditStableDiffusion:
         return fn
 
     def _jitted(self, name, fn):
+        return self._cached(name, lambda: jax.jit(fn))
+
+    def _cached(self, name, builder):
         if name not in self._jit_cache:
-            self._jit_cache[name] = jax.jit(fn)
+            self._jit_cache[name] = builder()
         return self._jit_cache[name]
+
+    def _mesh_probe_size(self, pca_rank: int) -> int:
+        """Probe-axis size when the configured mesh can shard this pullback
+        (0 = run single-device)."""
+        mesh = self.cfg.mesh
+        if mesh is None or "probe" not in mesh.axis_names:
+            return 0
+        n = mesh.shape["probe"]
+        if n <= 1 or pca_rank % n != 0 or self.cfg.pullback_chunk_size:
+            return 0
+        return n
 
     # ---- pipelines --------------------------------------------------------
 
@@ -288,19 +314,37 @@ class EditStableDiffusion:
         return x0
 
     def compute_local_basis(self, zt, t, tap: TapPoint, pca_rank: int):
-        run = self._jitted(
-            f"pullback_{tap}_{pca_rank}",
-            lambda p, emb, z, tt, k: local_pullback(
-                lambda zz: self._tap_encode(p, zz, tt, emb, tap),
-                z, k,
-                pca_rank=pca_rank,
-                min_iter=self.cfg.pullback_min_iter,
-                max_iter=self.cfg.pullback_max_iter,
-                atol=self.cfg.pullback_atol,
-                chunk_size=self.cfg.pullback_chunk_size,
-                remat=self.cfg.pullback_remat,
-            ),
-        )
+        n_probe = self._mesh_probe_size(pca_rank)
+        if n_probe:
+            from ..parallel import make_sharded_pullback
+
+            runner = self._cached(
+                f"pullback_{tap}_{pca_rank}_probe{n_probe}",
+                lambda: make_sharded_pullback(
+                    lambda zz, p, tt, emb: self._tap_encode(p, zz, tt, emb, tap),
+                    self.cfg.mesh,
+                    pca_rank=pca_rank,
+                    min_iter=self.cfg.pullback_min_iter,
+                    max_iter=self.cfg.pullback_max_iter,
+                    atol=self.cfg.pullback_atol,
+                    remat=self.cfg.pullback_remat,
+                ),
+            )
+            run = lambda p, emb, z, tt, k: runner(z, k, p, tt, emb)
+        else:
+            run = self._jitted(
+                f"pullback_{tap}_{pca_rank}",
+                lambda p, emb, z, tt, k: local_pullback(
+                    lambda zz: self._tap_encode(p, zz, tt, emb, tap),
+                    z, k,
+                    pca_rank=pca_rank,
+                    min_iter=self.cfg.pullback_min_iter,
+                    max_iter=self.cfg.pullback_max_iter,
+                    atol=self.cfg.pullback_atol,
+                    chunk_size=self.cfg.pullback_chunk_size,
+                    remat=self.cfg.pullback_remat,
+                ),
+            )
         t0 = time.perf_counter()
         res = run(self.unet_params, self.edit_prompt_emb, zt, t,
                   jax.random.key(self.cfg.seed))
@@ -309,6 +353,7 @@ class EditStableDiffusion:
             "sd_local_pullback",
             seconds=time.perf_counter() - t0,
             iterations=int(res.iterations),
+            probe_shards=n_probe or 1,
             top_s=np.asarray(res.s[:3]).round(4),
         )
         return res
@@ -714,6 +759,19 @@ class EditStableDiffusion:
         if all(self.cache.load(n) is not None for n in names):
             return {et: self.cache.path(n) for et, n in zip(t_grid, names)}
 
+        # sweep-axis data parallelism: a 'dp' mesh axis dividing the t-grid
+        # shards the per-t pullbacks across devices (vmap + constraint)
+        mesh = self.cfg.mesh
+        dp = 0
+        if (mesh is not None and "dp" in mesh.axis_names
+                and mesh.shape["dp"] > 1):
+            if len(t_grid) % mesh.shape["dp"] == 0:
+                dp = mesh.shape["dp"]
+                sequential = False
+            else:
+                self.log.log("sd_harvest_dp_skip", num_t=len(t_grid),
+                             dp=mesh.shape["dp"])
+
         zT = self.run_DDIMinversion(idx)
 
         def sweep(p, fe, ne, ee, z, key):
@@ -726,6 +784,13 @@ class EditStableDiffusion:
             zts = jnp.stack([traj[i] for i in t_indices])
             ts = jnp.stack([self.fwd_grid.timesteps[i] for i in t_indices])
             keys = jax.random.split(key, len(t_indices))
+            if dp:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                sh = NamedSharding(mesh, PartitionSpec("dp"))
+                zts = jax.lax.with_sharding_constraint(zts, sh)
+                ts = jax.lax.with_sharding_constraint(ts, sh)
+                keys = jax.lax.with_sharding_constraint(keys, sh)
 
             def pull_one(args):
                 zt, tt, kk = args
@@ -744,7 +809,7 @@ class EditStableDiffusion:
             return jax.vmap(lambda a, b, c: pull_one((a, b, c)))(zts, ts, keys)
 
         run = self._jitted(
-            f"sd_harvest_{tap}_{pca_rank}_{t_indices}_{sequential}", sweep
+            f"sd_harvest_{tap}_{pca_rank}_{t_indices}_{sequential}_dp{dp}", sweep
         )
         t0 = time.perf_counter()
         res = run(self.unet_params, self.for_prompt_emb, self.neg_prompt_emb,

@@ -58,6 +58,9 @@ class UncondExperimentConfig:
     pullback_max_iter: int = 50
     pullback_atol: float = 1e-4
     pullback_chunk_size: Optional[int] = None
+    # device mesh (jax.sharding.Mesh) — 'probe' axis shards the power
+    # iteration, 'dp' shards sweep axes; None = single device
+    mesh: Optional[object] = None
     # io
     result_folder: str = "./runs/uncond"
     obs_folder: str = "./runs/uncond/obs"
@@ -102,6 +105,15 @@ class EditUncondDiffusion:
 
         self._jit_cache = {}
 
+        # replicate weights over the configured mesh once so every jitted
+        # program (mesh-sharded or not) sees consistently-placed inputs
+        if config.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self.params = jax.device_put(
+                self.params, NamedSharding(config.mesh, PartitionSpec())
+            )
+
     # ---- building blocks --------------------------------------------------
     # NOTE: params are always explicit jit arguments — closing over them
     # would bake ~450MB of weights into the HLO as literals (and overflow
@@ -114,9 +126,23 @@ class EditUncondDiffusion:
         return self.model.apply(self.params, z, t)
 
     def _jitted(self, name, fn):
+        return self._cached(name, lambda: jax.jit(fn))
+
+    def _cached(self, name, builder):
         if name not in self._jit_cache:
-            self._jit_cache[name] = jax.jit(fn)
+            self._jit_cache[name] = builder()
         return self._jit_cache[name]
+
+    def _mesh_probe_size(self, pca_rank: int) -> int:
+        """Probe-axis size when the configured mesh can shard this pullback
+        (0 = run single-device)."""
+        mesh = self.cfg.mesh
+        if mesh is None or "probe" not in mesh.axis_names:
+            return 0
+        n = mesh.shape["probe"]
+        if n <= 1 or pca_rank % n != 0 or self.cfg.pullback_chunk_size:
+            return 0
+        return n
 
     def run_ddim_inversion(self, idx: int) -> jax.Array:
         """x0 → xT (reference run_DDIMinversion, edit.py:613-678)."""
@@ -191,18 +217,37 @@ class EditUncondDiffusion:
     def compute_local_basis(
         self, xt: jax.Array, t: jax.Array, tap: TapPoint, pca_rank: int
     ):
-        run = self._jitted(
-            f"pullback_{tap}_{pca_rank}",
-            lambda p, z, tt, k: local_pullback(
-                lambda zz: self.model.apply(p, zz, tt, tap, method=UNet2D.encode),
-                z, k,
-                pca_rank=pca_rank,
-                min_iter=self.cfg.pullback_min_iter,
-                max_iter=self.cfg.pullback_max_iter,
-                atol=self.cfg.pullback_atol,
-                chunk_size=self.cfg.pullback_chunk_size,
-            ),
-        )
+        n_probe = self._mesh_probe_size(pca_rank)
+        if n_probe:
+            from ..parallel import make_sharded_pullback
+
+            runner = self._cached(
+                f"pullback_{tap}_{pca_rank}_probe{n_probe}",
+                lambda: make_sharded_pullback(
+                    lambda zz, p, tt: self.model.apply(
+                        p, zz, tt, tap, method=UNet2D.encode
+                    ),
+                    self.cfg.mesh,
+                    pca_rank=pca_rank,
+                    min_iter=self.cfg.pullback_min_iter,
+                    max_iter=self.cfg.pullback_max_iter,
+                    atol=self.cfg.pullback_atol,
+                ),
+            )
+            run = lambda p, z, tt, k: runner(z, k, p, tt)
+        else:
+            run = self._jitted(
+                f"pullback_{tap}_{pca_rank}",
+                lambda p, z, tt, k: local_pullback(
+                    lambda zz: self.model.apply(p, zz, tt, tap, method=UNet2D.encode),
+                    z, k,
+                    pca_rank=pca_rank,
+                    min_iter=self.cfg.pullback_min_iter,
+                    max_iter=self.cfg.pullback_max_iter,
+                    atol=self.cfg.pullback_atol,
+                    chunk_size=self.cfg.pullback_chunk_size,
+                ),
+            )
         t0 = time.perf_counter()
         res = run(self.params, xt, t, jax.random.key(self.cfg.seed))
         jax.block_until_ready(res)
@@ -211,6 +256,7 @@ class EditUncondDiffusion:
             seconds=time.perf_counter() - t0,
             iterations=int(res.iterations),
             final_delta=float(res.final_delta),
+            probe_shards=n_probe or 1,
             top_s=np.asarray(res.s[:3]).round(4),
         )
         return res
@@ -741,6 +787,20 @@ class EditUncondDiffusion:
         if all(self.cache.load(n) is not None for n in names):
             return {et: self.cache.path(n) for et, n in zip(t_grid, names)}
 
+        # sweep-axis data parallelism (SURVEY §7 stage 8): when the mesh has
+        # a 'dp' axis dividing the t-grid, the per-t pullbacks vmap with the
+        # t-axis sharded across devices instead of lax.map'ing sequentially
+        mesh = self.cfg.mesh
+        dp = 0
+        if (mesh is not None and "dp" in mesh.axis_names
+                and mesh.shape["dp"] > 1):
+            if len(t_grid) % mesh.shape["dp"] == 0:
+                dp = mesh.shape["dp"]
+                sequential = False
+            else:
+                self.log.log("harvest_dp_skip", num_t=len(t_grid),
+                             dp=mesh.shape["dp"])
+
         xT = self.run_ddim_inversion(idx)
 
         def sweep(p, x, key):
@@ -759,6 +819,13 @@ class EditUncondDiffusion:
             if fix_t:
                 ts = jnp.broadcast_to(ts[:1], ts.shape)
             keys = jax.random.split(key, len(t_indices))
+            if dp:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                sh = NamedSharding(mesh, PartitionSpec("dp"))
+                xts = jax.lax.with_sharding_constraint(xts, sh)
+                ts = jax.lax.with_sharding_constraint(ts, sh)
+                keys = jax.lax.with_sharding_constraint(keys, sh)
 
             def pull_one(args):
                 xt, tt, kk = args
@@ -779,7 +846,8 @@ class EditUncondDiffusion:
             )
 
         run = self._jitted(
-            f"harvest_{tap}_{pca_rank}_{t_indices}_{sequential}{suffix}", sweep
+            f"harvest_{tap}_{pca_rank}_{t_indices}_{sequential}_dp{dp}{suffix}",
+            sweep,
         )
         t0 = time.perf_counter()
         res = run(self.params, xT, jax.random.key(cfg.seed))

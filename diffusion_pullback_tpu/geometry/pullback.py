@@ -124,6 +124,8 @@ def local_pullback(
     chunk_size: Optional[int] = None,
     remat: bool = False,
     svd_method: str = "qr",
+    probe_sharding=None,
+    fn_vjp: Optional[Callable[[jax.Array], jax.Array]] = None,
 ) -> PullbackResult:
     """Top-``pca_rank`` singular triplets of ∂fn/∂x at ``x``.
 
@@ -132,32 +134,62 @@ def local_pullback(
     reference (utils.py:806): the earliest converged exit happens after
     min_iter + 2 completed iterations (their `i > min_iter` break, 0-based),
     else at ``max_iter``.
+
+    ``probe_sharding`` (a `jax.sharding.NamedSharding` over the probe axis,
+    e.g. ``NamedSharding(mesh, P('probe'))``) constrains the (r, ·) iterates
+    inside the loop so GSPMD splits the vmapped tangent/cotangent passes
+    across the mesh — the multi-device path of SURVEY §2.3 (the reference has
+    no equivalent; its chunk loop is single-GPU, utils.py:761-773). Mutually
+    exclusive with ``chunk_size``.
+
+    ``fn_vjp``: optional second implementation of the SAME map used for the
+    cotangent half. Default (None) transposes the single linearization —
+    cheapest. Pass it when ``fn`` uses forward-mode-only fused kernels
+    (attn_impl='flash_jvp', which has no transpose rule): the cotangent side
+    then runs `jax.vjp(fn_vjp, x)` — a second linearization, exactly the
+    reference's jacfwd+jacobian split (utils.py:766-796), with both halves
+    on fused Pallas kernels. Numerics are identical up to float ordering.
     """
     if remat:
         fn = jax.checkpoint(fn)
+        if fn_vjp is not None:
+            fn_vjp = jax.checkpoint(fn_vjp)
+    if probe_sharding is not None and chunk_size is not None:
+        raise ValueError("probe_sharding and chunk_size are mutually exclusive")
+
+    def shard(a):
+        if probe_sharding is None:
+            return a
+        return jax.lax.with_sharding_constraint(a, probe_sharding)
 
     x = x.astype(jnp.float32)
     dim_x = math.prod(x.shape)
     _, jvp_fn = jax.linearize(fn, x)
-    transpose_fn = jax.linear_transpose(jvp_fn, x)
+    if fn_vjp is None:
+        transpose_fn = jax.linear_transpose(jvp_fn, x)
+    else:
+        _, vjp_fn = jax.vjp(fn_vjp, x)
+        transpose_fn = vjp_fn
 
-    h_shape = jax.eval_shape(fn, x).shape
+    h_aval = jax.eval_shape(fn, x)
+    h_shape, h_dtype = h_aval.shape, h_aval.dtype
     fwd = _batched(lambda vi: jvp_fn(vi.reshape(x.shape)).ravel(), chunk_size, pca_rank)
     bwd = _batched(
-        lambda ui: transpose_fn(ui.reshape(h_shape))[0].ravel(), chunk_size, pca_rank
+        lambda ui: transpose_fn(ui.reshape(h_shape).astype(h_dtype))[0].ravel(),
+        chunk_size, pca_rank,
     )
 
-    v0 = _orthonormal_probes(key, dim_x, pca_rank)
+    v0 = shard(_orthonormal_probes(key, dim_x, pca_rank))
 
     def one_iteration(v):
-        u = fwd(v)                        # (r, dim_h)
-        vt = bwd(u)                       # (r, dim_x)
+        u = shard(fwd(v))                 # (r, dim_h)
+        vt = shard(bwd(u))                # (r, dim_x)
         s, v_new = _short_fat_svd(vt, method=svd_method)
         # sign-align rows to the previous iterate so the convergence test
         # (and the final output) is free of ± flapping
         signs = jnp.sign(jnp.sum(v_new * v, axis=1))
         signs = jnp.where(signs == 0, 1.0, signs)
-        v_new = v_new * signs[:, None]
+        v_new = shard(v_new * signs[:, None])
         delta = jnp.max(jnp.abs(v_new - v))
         return v_new, s, delta
 

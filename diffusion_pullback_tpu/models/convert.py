@@ -79,19 +79,27 @@ def convert_torch_state_dict(
     ``template_params`` (from model.init). Raises on missing/shape-mismatched
     leaves so silent partial loads are impossible.
 
-    ``strip_prefixes`` removes wrapper scopes anywhere in the name; pass
-    ``CLIP_STRIP_PREFIXES`` when loading HF CLIP text towers (their
-    text_model./embeddings./encoder. scopes don't exist in our flat Flax
-    tree). The default must NOT strip 'encoder.' — the VAE genuinely scopes
-    its params under encoder/decoder."""
+    ``strip_prefixes`` removes wrapper scopes anchored at the start of the
+    name (repeatedly, so nested wrappers like 'text_model.encoder.' peel off
+    one scope per pass); pass ``CLIP_STRIP_PREFIXES`` when loading HF CLIP
+    text towers (their text_model./embeddings./encoder. scopes don't exist
+    in our flat Flax tree). Anchoring matters: a substring match would
+    silently mangle any future tower whose inner module name collides with a
+    wrapper scope. The default must NOT strip 'encoder.' — the VAE genuinely
+    scopes its params under encoder/decoder."""
     flat_out: Dict[Tuple[str, ...], np.ndarray] = {}
 
     for name, tensor in state_dict.items():
         arr = np.asarray(
             tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor
         )
-        for pre in strip_prefixes:
-            name = name.replace(pre, "")
+        stripped = True
+        while stripped:
+            stripped = False
+            for pre in strip_prefixes:
+                if name.startswith(pre):
+                    name = name[len(pre):]
+                    stripped = True
         path, leaf = _torch_name_to_flax_path(name)
         if leaf in ("num_batches_tracked", "position_ids"):
             continue  # torch buffers with no Flax counterpart

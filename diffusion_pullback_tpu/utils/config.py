@@ -115,7 +115,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_axes", type=str, default="",
                    help="e.g. 'dp:2,probe:4'; empty = single device")
     p.add_argument("--attn_impl", type=str, default="auto",
-                   choices=["auto", "xla", "flash"])
+                   choices=["auto", "xla", "blockwise", "flash"])
     p.add_argument("--pca_rank", type=int, default=2)
     p.add_argument("--pullback_chunk_size", type=int, default=0,
                    help="probe-axis chunking for memory-bound configs; 0=off")

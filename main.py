@@ -25,7 +25,37 @@ import jax.numpy as jnp
 from diffusion_pullback_tpu.utils.config import parse_args, preset
 
 
-def build_uncond(args):
+def build_mesh(args):
+    """--mesh_axes 'probe' / 'dp' / 'dp:2,probe:4' → jax.sharding.Mesh over
+    the available devices ('' or a single device → None, single-chip path).
+
+    TPU-native addition: the reference's only distribution machinery is the
+    dead MPI→NCCL bootstrap (dist_util.py:21-42); here the mesh routes the
+    pullback probe axis and the harvest sweep axis over ICI via GSPMD."""
+    spec = getattr(args, "mesh_axes", "") or ""
+    if not spec:
+        return None
+    if len(jax.devices()) == 1:
+        print("[main] --mesh_axes given but only 1 device visible; "
+              "running single-chip")
+        return None
+    from diffusion_pullback_tpu.parallel import make_mesh
+
+    axes, shape = [], {}
+    for part in spec.split(","):
+        part = part.strip()
+        if ":" in part:
+            a, n = part.split(":")
+            axes.append(a)
+            shape[a] = int(n)
+        else:
+            axes.append(part)
+    mesh = make_mesh(tuple(axes), shape=shape if len(shape) == len(axes) else None)
+    print(f"[main] device mesh: {dict(mesh.shape)}")
+    return mesh
+
+
+def build_uncond(args, mesh=None):
     from diffusion_pullback_tpu.experiments import (
         EditUncondDiffusion,
         UncondExperimentConfig,
@@ -69,6 +99,7 @@ def build_uncond(args):
         dataset = NoiseDataset(args.image_size)
 
     exp_cfg = UncondExperimentConfig(
+        mesh=mesh,
         dataset_name=args.dataset_name or "noise",
         for_steps=args.for_steps,
         inv_steps=args.inv_steps,
@@ -93,7 +124,7 @@ def build_uncond(args):
     return EditUncondDiffusion(model, params, schedule, dataset, exp_cfg, logger)
 
 
-def build_sd(args):
+def build_sd(args, mesh=None):
     import dataclasses
 
     from diffusion_pullback_tpu.experiments import (
@@ -168,6 +199,7 @@ def build_sd(args):
         dataset = NoiseDataset(args.image_size * 8)
 
     exp_cfg = SDExperimentConfig(
+        mesh=mesh,
         dataset_name=args.dataset_name or "noise",
         for_steps=args.for_steps,
         inv_steps=args.inv_steps,
@@ -200,7 +232,7 @@ def build_sd(args):
     )
 
 
-def build_sdxl(args):
+def build_sdxl(args, mesh=None):
     """SDXL flavour of build_sd: dual text towers, 0.13025 VAE scaling,
     1024px geometry. Random init is the offline default (2.6B-param UNet —
     pass --dtype bf16 for single-chip work)."""
@@ -312,6 +344,7 @@ def build_sdxl(args):
         dataset = NoiseDataset(args.image_size * 8)
 
     exp_cfg = SDExperimentConfig(
+        mesh=mesh,
         dataset_name=args.dataset_name or "noise",
         for_steps=args.for_steps,
         inv_steps=args.inv_steps,
@@ -350,12 +383,13 @@ def build_sdxl(args):
 def main(argv=None):
     args = preset(parse_args(argv))
 
+    mesh = build_mesh(args)
     if getattr(args, "is_sdxl", False):
-        edit = build_sdxl(args)
+        edit = build_sdxl(args, mesh=mesh)
     elif args.is_stable_diffusion:
-        edit = build_sd(args)
+        edit = build_sd(args, mesh=mesh)
     else:
-        edit = build_uncond(args)
+        edit = build_uncond(args, mesh=mesh)
 
     if args.run_edit_local_encoder_pullback_zt:
         edit.run_edit_local_encoder_pullback_zt(

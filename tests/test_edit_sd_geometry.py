@@ -152,7 +152,7 @@ def test_cli_dispatch_sd_geometry_flags(tmp_path, monkeypatch):
         def run_edit_local_pca_zt(self, **kw):
             called["lpca"] = kw
 
-    monkeypatch.setattr(cli, "build_sd", lambda args: FakeEdit())
+    monkeypatch.setattr(cli, "build_sd", lambda args, **kw: FakeEdit())
     monkeypatch.chdir(tmp_path)
     cli.main([
         "--note", "t", "--model_name", "stabilityai/stable-diffusion-2-1-base",
