@@ -62,6 +62,14 @@ class SDExperimentConfig:
     pullback_atol: float = 1e-4
     pullback_chunk_size: Optional[int] = None
     pullback_remat: bool = False
+    # attention impl for the differentiated encoder ('' = the model's own;
+    # 'flash' = fused custom_jvp/custom_vjp kernel pair; 'xla'/'blockwise')
+    pullback_attn_impl: str = ""
+    # CFG inside the JVP'd encoder (BASELINE config 4 — the reference's CFG
+    # pullback path crashes, edit.py:399, so this is the working spec):
+    # >0 differentiates h = h_edit + s·(h_edit − h_neg) as one fused 2·B
+    # batch; 0 (default) differentiates the edit-prompt encoder alone
+    pullback_guidance_scale: float = 0.0
     # device mesh (jax.sharding.Mesh) — 'probe' axis shards the power
     # iteration, 'dp' shards sweep axes; None = single device
     mesh: Optional[object] = None
@@ -142,11 +150,49 @@ class EditStableDiffusion:
             self.text_params, jnp.asarray(self.tokenizer([prompt]))
         )
 
-    def _tap_encode(self, params, z, t, prompt_emb, tap: TapPoint):
+    def _tap_encode(self, params, z, t, prompt_emb, tap: TapPoint, unet=None):
         """U-Net feature-tap encoder h = f(z) the pullback differentiates."""
-        return self.unet.apply(
+        return (unet or self.unet).apply(
             params, z, t, prompt_emb, tap, method=UNet2DCondition.encode
         )
+
+    def _unet_variant(self, attn_impl: str):
+        """Same weights, different attention kernels (the param tree is
+        impl-independent)."""
+        key = f"_unet_variant_{attn_impl}"
+        if key not in self._jit_cache:
+            self._jit_cache[key] = type(self.unet)(
+                dataclasses.replace(self.unet.config, attn_impl=attn_impl)
+            )
+        return self._jit_cache[key]
+
+    def _pullback_tap_encoders(self, tap: TapPoint):
+        """(encode, encode_vjp_or_None, impl_tag) for the pullback.
+
+        'flash' (or the model itself running flash) maps to the fused-kernel
+        PAIR: the tangent half differentiates the custom_jvp kernel
+        (attn_impl='flash_jvp'), the cotangent half runs jax.vjp through the
+        custom_vjp kernel — the resolution of the reference's xformers-off
+        constraint (utils.py:322-323) at SD/SDXL sequence lengths."""
+        impl = getattr(self.cfg, "pullback_attn_impl", "") \
+            or self.unet.config.attn_impl
+        if impl in ("flash", "flash_jvp"):
+            u_jvp = self._unet_variant("flash_jvp")
+            u_vjp = self._unet_variant("flash")
+            mk = lambda u: (
+                lambda p, zz, tt, emb: self._tap_encode(p, zz, tt, emb, tap,
+                                                        unet=u)
+            )
+            return mk(u_jvp), mk(u_vjp), "flashpair"
+        if impl != self.unet.config.attn_impl:
+            u = self._unet_variant(impl)
+            return (
+                lambda p, zz, tt, emb: self._tap_encode(p, zz, tt, emb, tap,
+                                                        unet=u)
+            ), None, impl
+        return (
+            lambda p, zz, tt, emb: self._tap_encode(p, zz, tt, emb, tap)
+        ), None, impl
 
     def _tap_encode_with_state(self, params, z, t, prompt_emb, tap: TapPoint):
         """(h, resume-state) at the tap — reference get_h + the skip stack
@@ -313,29 +359,61 @@ class EditStableDiffusion:
             save_image_grid(x0, save_as)
         return x0
 
+    def _cfg_encoder(self, enc):
+        """Wrap a tap encoder so the differentiated map is the CFG
+        extrapolation h_edit + s·(h_edit − h_neg), evaluated as one fused
+        2·B batch (prompt rows stacked, same discipline as eps_with). The
+        wrapped encoder takes embs = (edit_emb, neg_emb)."""
+        s = self.cfg.pullback_guidance_scale
+
+        def f(p, zz, tt, embs):
+            edit_emb, neg_emb = embs
+            b = zz.shape[0]
+            cat = lambda a, c: jnp.concatenate([
+                jnp.broadcast_to(a, (b,) + a.shape[1:]),
+                jnp.broadcast_to(c, (b,) + c.shape[1:]),
+            ], axis=0)
+            emb2 = jax.tree.map(cat, edit_emb, neg_emb)
+            h2 = enc(p, jnp.concatenate([zz, zz], axis=0), tt, emb2)
+            return (1.0 + s) * h2[:b] - s * h2[b:]
+
+        return f
+
     def compute_local_basis(self, zt, t, tap: TapPoint, pca_rank: int):
+        enc, enc_vjp, impl = self._pullback_tap_encoders(tap)
+        if self.cfg.pullback_guidance_scale > 0:
+            enc = self._cfg_encoder(enc)
+            enc_vjp = self._cfg_encoder(enc_vjp) if enc_vjp is not None else None
+            impl = f"{impl}_cfg{self.cfg.pullback_guidance_scale}"
+            emb_arg = (self.edit_prompt_emb, self.neg_prompt_emb)
+        else:
+            emb_arg = self.edit_prompt_emb
         n_probe = self._mesh_probe_size(pca_rank)
         if n_probe:
             from ..parallel import make_sharded_pullback
 
             runner = self._cached(
-                f"pullback_{tap}_{pca_rank}_probe{n_probe}",
+                f"pullback_{tap}_{pca_rank}_probe{n_probe}_{impl}",
                 lambda: make_sharded_pullback(
-                    lambda zz, p, tt, emb: self._tap_encode(p, zz, tt, emb, tap),
+                    lambda zz, p, tt, emb: enc(p, zz, tt, emb),
                     self.cfg.mesh,
                     pca_rank=pca_rank,
                     min_iter=self.cfg.pullback_min_iter,
                     max_iter=self.cfg.pullback_max_iter,
                     atol=self.cfg.pullback_atol,
                     remat=self.cfg.pullback_remat,
+                    fn_vjp=(
+                        (lambda zz, p, tt, emb: enc_vjp(p, zz, tt, emb))
+                        if enc_vjp is not None else None
+                    ),
                 ),
             )
             run = lambda p, emb, z, tt, k: runner(z, k, p, tt, emb)
         else:
             run = self._jitted(
-                f"pullback_{tap}_{pca_rank}",
+                f"pullback_{tap}_{pca_rank}_{impl}",
                 lambda p, emb, z, tt, k: local_pullback(
-                    lambda zz: self._tap_encode(p, zz, tt, emb, tap),
+                    lambda zz: enc(p, zz, tt, emb),
                     z, k,
                     pca_rank=pca_rank,
                     min_iter=self.cfg.pullback_min_iter,
@@ -343,10 +421,14 @@ class EditStableDiffusion:
                     atol=self.cfg.pullback_atol,
                     chunk_size=self.cfg.pullback_chunk_size,
                     remat=self.cfg.pullback_remat,
+                    fn_vjp=(
+                        (lambda zz: enc_vjp(p, zz, tt, emb))
+                        if enc_vjp is not None else None
+                    ),
                 ),
             )
         t0 = time.perf_counter()
-        res = run(self.unet_params, self.edit_prompt_emb, zt, t,
+        res = run(self.unet_params, emb_arg, zt, t,
                   jax.random.key(self.cfg.seed))
         jax.block_until_ready(res)
         self.log.log(
@@ -354,6 +436,7 @@ class EditStableDiffusion:
             seconds=time.perf_counter() - t0,
             iterations=int(res.iterations),
             probe_shards=n_probe or 1,
+            encoder=impl,
             top_s=np.asarray(res.s[:3]).round(4),
         )
         return res
@@ -758,6 +841,38 @@ class EditStableDiffusion:
         ]
         if all(self.cache.load(n) is not None for n in names):
             return {et: self.cache.path(n) for et, n in zip(t_grid, names)}
+
+        if cfg.loop_impl == "host":
+            # cold-compile mitigation (TODO r1: the fused sweep traces the
+            # whole trajectory + every pullback into one program, >20 min
+            # cold at SD scale): walk the trajectory with the single
+            # compiled host step and reuse ONE pullback program across the
+            # grid — t enters compute_local_basis as a traced argument, so
+            # the total is 3 compiles (invert step, forward step, pullback)
+            zT = self.run_DDIMinversion(idx)
+            order = sorted(zip(t_grid, t_indices, names), key=lambda x: x[1])
+            z, cur = zT, 0
+            out = {}
+            t0 = time.perf_counter()
+            for et, ti, name in order:
+                if ti > cur:
+                    z = self.DDIMforwardsteps(z, cur, ti)
+                    cur = ti
+                if self.cache.load(name) is not None:
+                    out[et] = self.cache.path(name)
+                    continue
+                res = self.compute_local_basis(
+                    z, self.fwd_grid.timesteps[ti], tap, pca_rank
+                )
+                out[et] = self.cache.save(
+                    name, np.asarray(res.u), np.asarray(res.s),
+                    np.asarray(res.vT),
+                )
+            self.log.log(
+                "sd_tangent_harvest_host", num_t=len(t_grid),
+                seconds=time.perf_counter() - t0,
+            )
+            return out
 
         # sweep-axis data parallelism: a 'dp' mesh axis dividing the t-grid
         # shards the per-t pullbacks across devices (vmap + constraint)

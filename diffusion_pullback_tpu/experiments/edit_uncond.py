@@ -104,6 +104,10 @@ class EditUncondDiffusion:
         self.boost_start_idx = int(below.argmax()) if below.any() else None
 
         self._jit_cache = {}
+        # UNet2DConfig calls it sample_size, ADMConfig image_size
+        self._sample_size = getattr(
+            model.config, "sample_size", None
+        ) or model.config.image_size
 
         # replicate weights over the configured mesh once so every jitted
         # program (mesh-sharded or not) sees consistently-placed inputs
@@ -120,10 +124,16 @@ class EditUncondDiffusion:
     # the axon remote-compile transport).
 
     def _eps_with(self, params):
+        """ε(z, t); learned-σ heads (ADM family) emit [ε, σ] stacked on the
+        channel axis — DDIM sampling consumes the ε half (the reference's
+        et.split(...) in YHCustomScheduler.step, utils.py:1212-1215)."""
+        if getattr(self.model.config, "learn_sigma", False):
+            c = self.model.config.out_channels
+            return lambda z, t: self.model.apply(params, z, t)[..., :c]
         return lambda z, t: self.model.apply(params, z, t)
 
     def eps_fn(self, z, t):
-        return self.model.apply(self.params, z, t)
+        return self._eps_with(self.params)(z, t)
 
     def _jitted(self, name, fn):
         return self._cached(name, lambda: jax.jit(fn))
@@ -167,7 +177,7 @@ class EditUncondDiffusion:
         (working spec of the reference's broken vis_psd path,
         edit.py:1702-1709)."""
         key = jax.random.key(self.cfg.seed) if key is None else key
-        s = self.model.config.sample_size
+        s = self._sample_size
         xT = jax.random.normal(key, (num_samples, s, s, 3), jnp.float32)
         if vis_psd:
             from ..samplers.ddim_loop import ddim_scan
@@ -225,7 +235,7 @@ class EditUncondDiffusion:
                 f"pullback_{tap}_{pca_rank}_probe{n_probe}",
                 lambda: make_sharded_pullback(
                     lambda zz, p, tt: self.model.apply(
-                        p, zz, tt, tap, method=UNet2D.encode
+                        p, zz, tt, tap, method=type(self.model).encode
                     ),
                     self.cfg.mesh,
                     pca_rank=pca_rank,
@@ -239,7 +249,7 @@ class EditUncondDiffusion:
             run = self._jitted(
                 f"pullback_{tap}_{pca_rank}",
                 lambda p, z, tt, k: local_pullback(
-                    lambda zz: self.model.apply(p, zz, tt, tap, method=UNet2D.encode),
+                    lambda zz: self.model.apply(p, zz, tt, tap, method=type(self.model).encode),
                     z, k,
                     pca_rank=pca_rank,
                     min_iter=self.cfg.pullback_min_iter,
@@ -491,7 +501,7 @@ class EditUncondDiffusion:
         run = self._jitted(
             f"local_pca_{tap}_{pca_rank}_{num_samples}_{sigma}",
             lambda p, z, tt, k: local_pca(
-                lambda zz: self.model.apply(p, zz, tt, tap, method=UNet2D.encode),
+                lambda zz: self.model.apply(p, zz, tt, tap, method=type(self.model).encode),
                 z, k, rank=pca_rank, num_samples=num_samples,
                 chunk=min(32, num_samples), sigma=sigma,
             ),
@@ -505,7 +515,7 @@ class EditUncondDiffusion:
         to_x = self._jitted(
             f"pca_to_x_{tap}",
             lambda p, z, tt, comp: pca_to_x_direction(
-                lambda zz: self.model.apply(p, zz, tt, tap, method=UNet2D.encode),
+                lambda zz: self.model.apply(p, zz, tt, tap, method=type(self.model).encode),
                 z, comp,
             ),
         )
@@ -546,12 +556,12 @@ class EditUncondDiffusion:
         from ..ops.schedule import alpha_bar
 
         h, state = self.model.apply(
-            p, xt, t, tap, method=UNet2D.encode_with_state
+            p, xt, t, tap, method=type(self.model).encode_with_state
         )
 
         def decode_fn(hh):
             eps = self.model.apply(
-                p, hh, state, tap, method=UNet2D.decode_with_state
+                p, hh, state, tap, method=type(self.model).decode_with_state
             )
             if x0_pullback:
                 return predict_x0(eps, xt, alpha_bar(self.schedule, t))
@@ -631,14 +641,14 @@ class EditUncondDiffusion:
         t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
         h_shape = jax.eval_shape(
             lambda z: self.model.apply(self.params, z, t_edit, tap,
-                                       method=UNet2D.encode), xt
+                                       method=type(self.model).encode), xt
         ).shape
 
         inv = self._jitted(
             f"inv_jac_{tap}",
             lambda p, z, tt, u: pullback_covector(
                 lambda zz: self.model.apply(p, zz, tt, tap,
-                                            method=UNet2D.encode),
+                                            method=type(self.model).encode),
                 z, u,
             ),
         )
@@ -681,7 +691,7 @@ class EditUncondDiffusion:
         tap = TapPoint(op, block_idx)
         key = jax.random.key(cfg.seed) if key is None else key
         t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
-        size = self.model.config.sample_size
+        size = self._sample_size
 
         def harvest(p, k):
             xT = jax.random.normal(
@@ -691,7 +701,7 @@ class EditUncondDiffusion:
                 self._eps_with(p), xT, self.schedule, self.fwd_grid,
                 start_idx=0, end_idx=self.edit_t_idx,
             )
-            h = self.model.apply(p, xt, t_edit, tap, method=UNet2D.encode)
+            h = self.model.apply(p, xt, t_edit, tap, method=type(self.model).encode)
             return global_pca(h, rank=pca_rank)
 
         run = self._jitted(f"global_pca_{tap}_{num_samples}_{pca_rank}",
@@ -831,7 +841,7 @@ class EditUncondDiffusion:
                 xt, tt, kk = args
                 return local_pullback(
                     lambda zz: self.model.apply(p, zz, tt, tap,
-                                                method=UNet2D.encode),
+                                                method=type(self.model).encode),
                     xt, kk, pca_rank=pca_rank,
                     min_iter=self.cfg.pullback_min_iter,
                     max_iter=self.cfg.pullback_max_iter,

@@ -69,3 +69,48 @@ __all__ = [
     "sdxl_tiny_unet",
     "vae_tiny",
 ]
+
+
+def model_for_name(model_name: str, dtype: str = "float32", precision=None):
+    """model_name → constructed uncond diffusion module.
+
+    The routing the reference scatters across configs/paths.py:1-19,
+    define_argparser.py:163-172 and guided_diffusion/script_util.py:96-257:
+    HF '*_HF' names share the google/ddpm 256px architecture (UNet2D);
+    checkpoint-era ADM/P2 names build the UNetADM port (learned-σ heads).
+    """
+    import dataclasses
+
+    from .configs import (
+        ddpm_ema_bedroom_256,
+        ddpm_ema_church_256,
+        ddpm_ema_ffhq_256,
+    )
+
+    hf = {
+        "CelebA_HQ_HF": ddpm_celebahq_256,
+        "LSUN_church_HF": ddpm_ema_church_256,
+        "LSUN_bedroom_HF": ddpm_ema_bedroom_256,
+        "FFHQ_HF": ddpm_ema_ffhq_256,
+    }
+    adm = {
+        "LSUN_bedroom": adm_lsun_256,
+        "LSUN_cat": adm_lsun_256,
+        "LSUN_horse": adm_lsun_256,
+        "FFHQ_P2": adm_ffhq_p2,
+        "AFHQ_P2": adm_ffhq_p2,
+        "Flower_P2": adm_ffhq_p2,
+        "CIFAR10": adm_cifar10,
+    }
+    if model_name in hf:
+        cfg = dataclasses.replace(hf[model_name](), dtype=dtype,
+                                  precision=precision)
+        return UNet2D(cfg)
+    if model_name in adm:
+        cfg = dataclasses.replace(adm[model_name](), dtype=dtype,
+                                  precision=precision)
+        return UNetADM(cfg)
+    raise ValueError(f"unknown uncond model_name: {model_name!r}")
+
+
+__all__.append("model_for_name")

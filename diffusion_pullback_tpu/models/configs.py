@@ -62,6 +62,16 @@ def ddpm_ema_church_256() -> UNet2DConfig:
     return UNet2DConfig()
 
 
+def ddpm_ema_bedroom_256() -> UNet2DConfig:
+    """google/ddpm-ema-bedroom-256 — same arch family as celebahq."""
+    return UNet2DConfig()
+
+
+def ddpm_ema_ffhq_256() -> UNet2DConfig:
+    """FFHQ 256px HF checkpoint (reference FFHQ_HF name, paths.py)."""
+    return UNet2DConfig()
+
+
 def sdedit_celeba_256() -> UNet2DConfig:
     """The SDEdit CelebA-HQ custom DDPM (reference src/configs/custom_celeba_ddpm.yml:
     ch=128, ch_mult=(1,1,2,2,4,4), attn at 16x16, two res blocks)."""

@@ -67,6 +67,10 @@ def attention(
       'flash'     — Pallas fused kernels (custom_vjp): fastest primal+grad,
                     but NOT forward-mode differentiable — never select it on
                     a path that will be jax.linearize'd (the pullback).
+      'flash_jvp' — Pallas fused forward + streaming tangent kernel
+                    (custom_jvp): for jax.jvp/linearize'd paths (the
+                    pullback's tangent half). No transpose/reverse rule —
+                    pair with 'flash' via local_pullback's fn_vjp.
       'auto'      — safe default: blockwise for long sequences, else xla.
                     Deliberately avoids 'flash' because this dispatcher can't
                     see whether it is inside forward-mode AD.
@@ -75,10 +79,22 @@ def attention(
         return xla_attention(q, k, v, scale, precision)
     if impl == "blockwise":
         return blockwise_attention(q, k, v, scale, precision=precision)
-    if impl == "flash":
-        from .pallas.flash_attention import flash_attention
+    if impl in ("flash", "flash_jvp"):
+        # fused kernels pay off on long self-attention; short or
+        # block-irregular sequences (e.g. 77-token cross-attention context)
+        # route to the XLA path, which is differentiable in every mode
+        sq, sk = q.shape[1], k.shape[1]
+        bq, bk = min(512, sq), min(512, sk)
+        if sq < 1024 or sk < 128 or sq % bq or sk % bk:
+            return xla_attention(q, k, v, scale, precision)
+        interpret = jax.default_backend() == "cpu"  # tests / CPU-mesh runs
+        if impl == "flash":
+            from .pallas.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, scale)
+            return flash_attention(q, k, v, scale, interpret=interpret)
+        from .pallas.flash_attention import flash_attention_jvp
+
+        return flash_attention_jvp(q, k, v, scale, interpret=interpret)
     if impl == "auto":
         seq_q, seq_k = q.shape[1], k.shape[1]
         if seq_q >= 1024 and seq_k >= 1024:

@@ -341,6 +341,131 @@ def _flash_bwd(scale, interpret, res, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+# ---- forward-mode (JVP) kernel ----------------------------------------------
+# The reference's whole xformers-off constraint (utils.py:322-323) exists
+# because fused attention kernels lack forward-mode rules. This one has one:
+# given the forward's row logsumexp, the attention JVP is itself a streaming
+# blockwise pass —
+#     ṡ  = (q̇ kᵀ + q k̇ᵀ)·scale            per (Q,K) block
+#     p  = exp(s − lse)                     recomputed, never materialised
+#     ȯ  = Σ_k (p∘ṡ) v + p v̇  −  (Σ_k rowsum(p∘ṡ)) ∘ o
+# so tangents cost ~2.5× the forward's matmuls with the same O(S·block)
+# memory. Five MXU matmuls per block, all f32-accumulated.
+
+def _flash_tangent_kernel(q_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref,
+                          o_ref, lse_ref, do_ref, acc_ref, rsum_ref, *, scale):
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        rsum_ref[:] = jnp.zeros_like(rsum_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    dq = dq_ref[0]
+    dk = dk_ref[0]
+    dv = dv_ref[0]
+    lse = lse_ref[0][:, :1]
+
+    dot = lambda a, b, dims: jax.lax.dot_general(
+        a, b, dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = dot(q, k, ((1,), (1,))) * scale                   # (Bq, Bk)
+    p = jnp.exp(s - lse)                                  # true probs
+    ds = (dot(dq, k, ((1,), (1,))) + dot(q, dk, ((1,), (1,)))) * scale
+    pds = p * ds
+    acc_ref[:] = acc_ref[:] + dot(pds.astype(v.dtype), v, ((1,), (0,))) \
+        + dot(p.astype(dv.dtype), dv, ((1,), (0,)))
+    rsum_ref[:] = rsum_ref[:] + jnp.sum(pds, axis=1, keepdims=True)
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        o = o_ref[0].astype(jnp.float32)
+        do_ref[0] = (acc_ref[:] - rsum_ref[:, :1] * o).astype(do_ref.dtype)
+
+
+def _flash_tangent(q, k, v, dq, dk, dv, o, lse, scale,
+                   block_q=512, block_k=512, interpret=False):
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    grid = (bh, sq // block_q, sk // block_k)
+    qspec = pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0))
+    kspec = pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0))
+    return pl.pallas_call(
+        functools.partial(_flash_tangent_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            qspec, kspec, kspec, qspec, kspec, kspec, qspec,
+            pl.BlockSpec((1, block_q, 128), lambda b, iq, ik: (b, iq, 0)),
+        ],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),    # tangent accumulator
+            pltpu.VMEM((block_q, 128), jnp.float32),  # rowsum(p∘ṡ)
+        ],
+        interpret=interpret,
+    )(q, k, v, dq, dk, dv, o, lse)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4))
+def _flash_fwdmode(q, k, v, scale, interpret):
+    return _flash_forward(q, k, v, scale, interpret=interpret)
+
+
+@_flash_fwdmode.defjvp
+def _flash_fwdmode_jvp(scale, interpret, primals, tangents):
+    q, k, v = primals
+    dq, dk, dv = tangents
+    o, lse = _flash_forward_lse(q, k, v, scale, interpret=interpret)
+    zeros = lambda a: jnp.zeros(a.shape, a.dtype)
+    inst = lambda t, p: zeros(p) if isinstance(
+        t, jax.custom_derivatives.SymbolicZero) else t.astype(p.dtype)
+    do = _flash_tangent(
+        q, k, v, inst(dq, q), inst(dk, k), inst(dv, v), o, lse, scale,
+        interpret=interpret,
+    )
+    return o, do.astype(o.dtype)
+
+
+def flash_attention_jvp(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Forward-mode-differentiable fused attention (layout (B, S, H, D)).
+
+    Use on paths that will be `jax.linearize`d/`jax.jvp`'d — the pullback's
+    tangent sweeps. NOT reverse-mode differentiable (the tangent map has no
+    transpose rule — JAX's linear_call lacks a batching rule, and the
+    pullback vmaps tangents over probes); for the cotangent half pair it
+    with the custom_vjp `flash_attention` via local_pullback's ``fn_vjp``.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    bq, bk = min(512, sq), min(512, sk)
+    if sq % bq or sk % bk:
+        raise ValueError(
+            f"flash_attention_jvp requires sequence lengths divisible by the "
+            f"block size (sq={sq}, sk={sk}, blocks=({bq},{bk}))"
+        )
+    to_bh = lambda x, s: x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    out = _flash_fwdmode(
+        to_bh(q, sq), to_bh(k, sk), to_bh(v, sk), float(scale), interpret
+    )
+    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,

@@ -29,6 +29,7 @@ def make_sharded_pullback(
     mesh: Mesh,
     probe_axis: str = "probe",
     pca_rank: int = 50,
+    fn_vjp: Callable = None,
     **kwargs,
 ) -> Callable:
     """Build a reusable jitted probe-sharded pullback runner.
@@ -59,6 +60,7 @@ def make_sharded_pullback(
             k,
             pca_rank=pca_rank,
             probe_sharding=probe_sharding,
+            fn_vjp=(lambda v: fn_vjp(v, *fargs)) if fn_vjp is not None else None,
             **kwargs,
         )
 

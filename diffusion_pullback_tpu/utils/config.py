@@ -116,6 +116,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="e.g. 'dp:2,probe:4'; empty = single device")
     p.add_argument("--attn_impl", type=str, default="auto",
                    choices=["auto", "xla", "blockwise", "flash"])
+    p.add_argument("--pullback_guidance_scale", type=float, default=0.0,
+                   help="CFG inside the JVP'd encoder (BASELINE config 4): "
+                        ">0 differentiates h_edit + s*(h_edit - h_neg) as a "
+                        "fused 2B batch; 0 = edit-prompt encoder alone")
+    p.add_argument("--pullback_attn_impl", type=str, default="",
+                   choices=["", "xla", "blockwise", "flash"],
+                   help="attention impl inside the differentiated encoder; "
+                        "'flash' pairs the fused custom_jvp tangent kernel "
+                        "with the flash custom_vjp backward")
     p.add_argument("--pca_rank", type=int, default=2)
     p.add_argument("--pullback_chunk_size", type=int, default=0,
                    help="probe-axis chunking for memory-bound configs; 0=off")
@@ -157,11 +166,21 @@ def preset(args):
     elif args.is_stable_diffusion:
         args.exp = f"Stable_Diffusion-{args.dataset_name}-{args.note}"
     else:
-        known = {"CelebA_HQ_HF", "LSUN_church_HF", "LSUN_bedroom_HF", "FFHQ_HF"}
-        if args.model_name not in known:
+        # HF ddpm-family names (reference define_argparser.py:169) plus the
+        # checkpoint-era ADM/P2 names the reference declares but refuses with
+        # NotImplementedError (:164-168) — here they route to the UNetADM
+        # port (models/adm.py) and run offline with random init until a
+        # checkpoint is supplied via --checkpoint_path
+        known_hf = {"CelebA_HQ_HF", "LSUN_church_HF", "LSUN_bedroom_HF",
+                    "FFHQ_HF"}
+        known_adm = {"LSUN_bedroom", "LSUN_cat", "LSUN_horse",
+                     "FFHQ_P2", "AFHQ_P2", "Flower_P2", "CIFAR10"}
+        if args.model_name not in known_hf | known_adm:
             raise ValueError(
-                f"model_name choice: {sorted(known)} (got {args.model_name!r})"
+                f"model_name choice: {sorted(known_hf | known_adm)} "
+                f"(got {args.model_name!r})"
             )
+        args.is_adm = args.model_name in known_adm
         args.exp = f"{args.model_name}-{args.dataset_name}-{args.note}"
     args.exp_folder = os.path.join(args.result_folder, args.exp)
 

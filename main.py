@@ -60,25 +60,44 @@ def build_uncond(args, mesh=None):
         EditUncondDiffusion,
         UncondExperimentConfig,
     )
-    from diffusion_pullback_tpu.models import UNet2D, ddpm_celebahq_256
+    from diffusion_pullback_tpu.models import UNet2D, model_for_name
     from diffusion_pullback_tpu.ops import DiffusionSchedule
     from diffusion_pullback_tpu.utils.datasets import get_dataset
     from diffusion_pullback_tpu.utils.logging import JSONLLogger
 
     import dataclasses
 
-    cfg_model = ddpm_celebahq_256()
-    if args.dtype == "bf16":
-        cfg_model = dataclasses.replace(cfg_model, dtype="bfloat16")
-    if args.matmul_precision:
-        cfg_model = dataclasses.replace(cfg_model, precision=args.matmul_precision)
-    model = UNet2D(cfg_model)
+    # model_name → architecture (reference paths.py:1-19 +
+    # script_util.py routing; HF ddpm names share the google/ddpm arch,
+    # checkpoint-era names get the UNetADM port)
+    model = model_for_name(
+        args.model_name,
+        dtype="bfloat16" if args.dtype == "bf16" else "float32",
+        precision=args.matmul_precision or None,
+    )
 
     x0 = jnp.zeros((1, args.image_size, args.image_size, args.c_in))
     if args.checkpoint_path:
-        from diffusion_pullback_tpu.models.convert import load_unet2d_torch_checkpoint
+        if isinstance(model, UNet2D):
+            from diffusion_pullback_tpu.models.convert import (
+                load_unet2d_torch_checkpoint,
+            )
 
-        params = load_unet2d_torch_checkpoint(args.checkpoint_path, model, x0)
+            params = load_unet2d_torch_checkpoint(args.checkpoint_path, model, x0)
+        else:
+            from diffusion_pullback_tpu.models.convert import (
+                convert_torch_state_dict,
+                load_torch_checkpoint_file,
+            )
+
+            template = jax.eval_shape(
+                lambda k: model.init(k, x0, jnp.float32(0.0)), jax.random.key(0)
+            )
+            template = jax.tree.map(lambda t: jnp.zeros(t.shape, t.dtype),
+                                    template)
+            params = convert_torch_state_dict(
+                load_torch_checkpoint_file(args.checkpoint_path), template
+            )
     else:
         print("[main] no --checkpoint_path: deterministic random init (offline)")
         params = jax.jit(lambda k: model.init(k, x0, jnp.float32(0.0)))(
@@ -215,6 +234,8 @@ def build_sd(args, mesh=None):
         x_space_guidance_num_step=args.x_space_guidance_num_step or 16,
         pca_rank=args.pca_rank,
         loop_impl=args.loop_impl,
+        pullback_attn_impl=args.pullback_attn_impl,
+        pullback_guidance_scale=args.pullback_guidance_scale,
         pullback_chunk_size=args.pullback_chunk_size or None,
         result_folder=args.result_folder,
         obs_folder=args.obs_folder,
@@ -360,6 +381,8 @@ def build_sdxl(args, mesh=None):
         x_space_guidance_num_step=args.x_space_guidance_num_step or 16,
         pca_rank=args.pca_rank,
         loop_impl=args.loop_impl,
+        pullback_attn_impl=args.pullback_attn_impl,
+        pullback_guidance_scale=args.pullback_guidance_scale,
         pullback_chunk_size=args.pullback_chunk_size or 1,
         pullback_remat=True,
         decode_chunk=1,
