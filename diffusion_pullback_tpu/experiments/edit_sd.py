@@ -510,6 +510,62 @@ class EditStableDiffusion:
                 )
         return self._edit_along_directions(zt, vks, names, vis_num)
 
+    def run_edit_text_driven_direction(
+        self,
+        idx: int,
+        op: str = "mid",
+        block_idx: int = 0,
+        vis_num: Optional[int] = None,
+    ):
+        """Working spec for the reference's declared-but-never-dispatched
+        --run_edit_text_driven_direction flag (define_argparser.py:124; no
+        implementation exists anywhere in the reference).
+
+        The text-driven x-space direction is the pullback of the tapped
+        feature displacement the edit prompt induces:
+
+            Δh = h(z_t | edit_prompt) − h(z_t | null_prompt)
+            v  = Jᵀ Δh / ‖Jᵀ Δh‖        (one VJP — the reference's
+                                         inv_jac_zt trick, utils.py:1117-1160)
+
+        then the standard ±v x-space-guidance walks and trajectory finish."""
+        from ..geometry.pullback import pullback_covector
+
+        cfg = self.cfg
+        vis_num = vis_num or cfg.vis_num
+        tap = TapPoint(op, block_idx)
+
+        zT = self.run_DDIMinversion(idx)
+        zt = self.DDIMforwardsteps(zT, 0, self.edit_t_idx)
+        t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
+
+        def direction(p, ee, ne, z, tt):
+            dh = self._tap_encode(p, z, tt, ee, tap) - \
+                self._tap_encode(p, z, tt, ne, tap)
+            v = pullback_covector(
+                lambda q: self._tap_encode(p, q, tt, ee, tap), z, dh
+            )
+            return v / jnp.linalg.norm(v)
+
+        run = self._jitted(f"text_direction_{tap}", direction)
+        t0 = time.perf_counter()
+        v = run(self.unet_params, self.edit_prompt_emb, self.null_prompt_emb,
+                zt, t_edit)
+        jax.block_until_ready(v)
+        self.log.log("text_driven_direction", seconds=time.perf_counter() - t0)
+
+        shape = zt.shape[1:]
+        vks, names = [], []
+        for sign, stag in ((1.0, "pos"), (-1.0, "neg")):
+            vks.append(sign * v.reshape(shape))
+            names.append(
+                f"Edit_text_driven-{cfg.dataset_name}_{idx}"
+                f"-edit_{cfg.edit_t}T-{op}-block_{block_idx}"
+                f"-prompt_{(cfg.edit_prompt or 'none').replace(' ', '_')[:40]}"
+                f"_{stag}"
+            )
+        return self._edit_along_directions(zt, vks, names, vis_num)
+
     def _edit_along_directions(self, zt, vks, names, vis_num):
         """Shared tail of the SD editing experiments: vmapped x-space-guidance
         walks (edit-prompt conditioned, edit.py:484-502) over the direction

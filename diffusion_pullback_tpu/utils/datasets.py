@@ -46,6 +46,25 @@ class ImgDataset:
     def __getitem__(self, idx: int) -> np.ndarray:
         return load_image(self.files[idx], self.image_size)
 
+    def load_batch(self, indices=None) -> np.ndarray:
+        """(n, S, S, 3) batch via the native threaded decode pipeline (one
+        libjpeg/libpng worker per hardware thread — the reference decodes
+        serially through PIL per item); any item the codecs can't handle is
+        patched up through the single-image path."""
+        from .native import decode_batch
+
+        idxs = range(len(self)) if indices is None else indices
+        paths = [self.files[i] for i in idxs]
+        res = decode_batch(paths, self.image_size)
+        if res is None:
+            return np.concatenate([load_image(p, self.image_size)
+                                   for p in paths], axis=0)
+        out, ok = res
+        for j, good in enumerate(ok):
+            if not good:
+                out[j] = load_image(paths[j], self.image_size)[0]
+        return out
+
 
 class NoiseDataset:
     """Deterministic Gaussian 'images' for fully-offline smoke runs (the

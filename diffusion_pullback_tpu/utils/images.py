@@ -22,13 +22,19 @@ except ImportError:  # pragma: no cover
 
 def load_image(path: str, image_size: int) -> np.ndarray:
     """Center-crop to square, resize (bilinear), normalize to [-1, 1].
-    → (1, S, S, 3). Pixel math runs in the native C++ library when built
-    (native/imageproc.cpp via utils.native); PIL otherwise."""
+    → (1, S, S, 3). With codec support the ENTIRE path (libjpeg/libpng
+    decode included) runs in the native C++ library
+    (native/imageproc.cpp via utils.native); else native pixel math over a
+    PIL decode; else pure PIL."""
+    from . import native
+
+    arr = native.decode_crop_resize(path, image_size)
+    if arr is not None:
+        return arr[None]
+
     if Image is None:
         raise RuntimeError("PIL is required for image loading")
     img = Image.open(path).convert("RGB")
-
-    from . import native
 
     arr = native.crop_resize_normalize(np.asarray(img, np.uint8), image_size)
     if arr is not None:

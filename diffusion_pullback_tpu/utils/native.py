@@ -62,6 +62,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, u8p,
         ]
         lib.dpx_version.restype = ctypes.c_int
+        if hasattr(lib, "dpx_decode_crop_resize"):
+            lib.dpx_has_codecs.restype = ctypes.c_int
+            lib.dpx_decode_crop_resize.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, f32p,
+            ]
+            lib.dpx_decode_crop_resize.restype = ctypes.c_int
+            lib.dpx_decode_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+                f32p, ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.dpx_decode_batch.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -99,3 +110,49 @@ def batch_to_grid(batch_f32: np.ndarray, nrow: int) -> Optional[np.ndarray]:
         grid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return grid
+
+
+def has_codecs() -> bool:
+    """True when the library was built against libjpeg/libpng and owns the
+    full decode → crop/resize/normalize path."""
+    lib = get_lib()
+    return bool(
+        lib is not None
+        and hasattr(lib, "dpx_has_codecs")
+        and lib.dpx_has_codecs()
+    )
+
+
+def decode_crop_resize(path: str, out_size: int) -> Optional[np.ndarray]:
+    """Fully-native image load: decode (libjpeg/libpng) + center-crop +
+    bilinear resize + [-1,1] normalize → (out,out,3) f32. None on any
+    failure (unsupported codec/colorspace; caller falls back to PIL)."""
+    lib = get_lib()
+    if lib is None or not has_codecs():
+        return None
+    out = np.empty((out_size, out_size, 3), np.float32)
+    rc = lib.dpx_decode_crop_resize(
+        path.encode(), out_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out if rc == 0 else None
+
+
+def decode_batch(paths, out_size: int):
+    """Threaded batch load: (n, out, out, 3) f32 plus a per-item ok mask —
+    one decode worker per hardware thread in C++ (the reference decodes
+    serially through PIL per __getitem__). None if the native codecs are
+    unavailable; failed items are flagged for a PIL patch-up, not fatal."""
+    lib = get_lib()
+    if lib is None or not has_codecs():
+        return None
+    n = len(paths)
+    out = np.empty((n, out_size, out_size, 3), np.float32)
+    status = np.empty((n,), np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.dpx_decode_batch(
+        arr, n, out_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return out, status == 0

@@ -500,6 +500,18 @@ def main(argv=None):
             op="mid", block_idx=0, pca_rank=10, vis_num=4, vis_num_pc=2,
         )
 
+    if getattr(args, "run_edit_text_driven_direction", False):
+        # declared in the reference's argparser (define_argparser.py:124)
+        # but never implemented there; our working spec lives on the SD
+        # drivers (edit_sd.py run_edit_text_driven_direction)
+        if not hasattr(edit, "run_edit_text_driven_direction"):
+            raise SystemExit(
+                "--run_edit_text_driven_direction needs a text-conditioned "
+                "model (SD/SDXL family)")
+        edit.run_edit_text_driven_direction(
+            idx=args.sample_idx, op="mid", block_idx=0,
+        )
+
     if args.run_ddim_forward:
         fwd = getattr(edit, "run_DDIMforward", None) or edit.run_ddim_forward
         kw = {"vis_psd": True} if (args.vis_psd and

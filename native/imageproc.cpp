@@ -9,6 +9,7 @@
 // host-side preprocessing keeps up with the TPU at dataset-sweep scale.
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -122,6 +123,177 @@ void dpx_batch_to_grid_u8(const float* batch, int n, int h, int w, int c,
     });
 }
 
-int dpx_version() { return 1; }
+int dpx_version() { return 2; }
 
 }  // extern "C"
+
+// ---- native decode pipeline -------------------------------------------------
+// The reference's full data path is PIL decode + torchvision transforms
+// (utils.py:1440-1480). With codecs present this library owns the WHOLE
+// path: libjpeg/libpng decode → crop → bilinear resize → [-1,1] normalize,
+// one image per worker thread across a batch — the host-side loader keeps a
+// TPU-speed harvest sweep fed without the Python pickle/PIL round-trips.
+// Compiled only when the dev headers exist (DPX_WITH_CODECS from the
+// Makefile probe); dpx_has_codecs() reports availability at runtime.
+
+#ifdef DPX_WITH_CODECS
+
+#include <csetjmp>
+#include <cstdio>
+
+#include <jpeglib.h>
+#include <png.h>
+
+namespace {
+
+struct JpegErr {
+    jpeg_error_mgr pub;
+    jmp_buf env;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+    longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->env, 1);
+}
+
+bool decode_jpeg(FILE* f, std::vector<uint8_t>& pix, int& h, int& w, int& c) {
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = jpeg_err_exit;
+    if (setjmp(jerr.env)) {
+        jpeg_destroy_decompress(&cinfo);
+        return false;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, f);
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.out_color_space = JCS_RGB;  // grayscale upconverts; CMYK fails out
+    jpeg_start_decompress(&cinfo);
+    w = cinfo.output_width;
+    h = cinfo.output_height;
+    c = cinfo.output_components;
+    if (c != 3) {
+        jpeg_abort_decompress(&cinfo);
+        jpeg_destroy_decompress(&cinfo);
+        return false;
+    }
+    pix.resize(static_cast<size_t>(h) * w * c);
+    while (cinfo.output_scanline < cinfo.output_height) {
+        uint8_t* row = pix.data() +
+            static_cast<size_t>(cinfo.output_scanline) * w * c;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return true;
+}
+
+bool decode_png(FILE* f, std::vector<uint8_t>& pix, int& h, int& w, int& c) {
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                             nullptr, nullptr);
+    if (!png) return false;
+    png_infop info = png_create_info_struct(png);
+    if (!info) {
+        png_destroy_read_struct(&png, nullptr, nullptr);
+        return false;
+    }
+    if (setjmp(png_jmpbuf(png))) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        return false;
+    }
+    png_init_io(png, f);
+    png_read_info(png, info);
+    png_set_expand(png);        // palette → rgb, low-bit gray → 8-bit
+    png_set_strip_16(png);
+    png_set_strip_alpha(png);
+    png_set_gray_to_rgb(png);
+    png_read_update_info(png, info);
+    w = png_get_image_width(png, info);
+    h = png_get_image_height(png, info);
+    c = png_get_channels(png, info);
+    if (c != 3) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        return false;
+    }
+    pix.resize(static_cast<size_t>(h) * w * c);
+    std::vector<png_bytep> rows(h);
+    for (int y = 0; y < h; ++y) {
+        rows[y] = pix.data() + static_cast<size_t>(y) * w * c;
+    }
+    png_read_image(png, rows.data());
+    png_destroy_read_struct(&png, &info, nullptr);
+    return true;
+}
+
+bool decode_file(const char* path, std::vector<uint8_t>& pix,
+                 int& h, int& w, int& c) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return false;
+    uint8_t magic[2] = {0, 0};
+    if (std::fread(magic, 1, 2, f) != 2) {
+        std::fclose(f);
+        return false;
+    }
+    std::rewind(f);
+    bool ok = false;
+    if (magic[0] == 0xFF && magic[1] == 0xD8) {
+        ok = decode_jpeg(f, pix, h, w, c);
+    } else if (magic[0] == 0x89 && magic[1] == 'P') {
+        ok = decode_png(f, pix, h, w, c);
+    }
+    std::fclose(f);
+    return ok;
+}
+
+}  // namespace
+
+extern "C" {
+
+int dpx_has_codecs() { return 1; }
+
+// decode path → center-crop → resize → normalize into dst
+// (out_size × out_size × 3 f32). 0 on success, -1 on any failure (caller
+// falls back to PIL).
+int dpx_decode_crop_resize(const char* path, int out_size, float* dst) {
+    std::vector<uint8_t> pix;
+    int h = 0, w = 0, c = 0;
+    if (!decode_file(path, pix, h, w, c)) return -1;
+    dpx_crop_resize_normalize(pix.data(), h, w, c, dst, out_size);
+    return 0;
+}
+
+// batch variant: one worker thread per image (bounded by hardware
+// concurrency), per-item status (0 ok / -1 failed) so mixed batches can
+// patch failures via the PIL fallback. Returns the number of failures.
+int dpx_decode_batch(const char** paths, int n, int out_size, float* dst,
+                     int* status) {
+    int workers = static_cast<int>(std::thread::hardware_concurrency());
+    if (workers <= 0) workers = 4;
+    workers = std::min(workers, n);
+    std::vector<std::thread> ts;
+    ts.reserve(workers);
+    std::atomic<int> next(0);
+    size_t stride = static_cast<size_t>(out_size) * out_size * 3;
+    for (int t = 0; t < workers; ++t) {
+        ts.emplace_back([&] {
+            for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+                status[i] = dpx_decode_crop_resize(paths[i], out_size,
+                                                   dst + stride * i);
+            }
+        });
+    }
+    for (auto& th : ts) th.join();
+    int fails = 0;
+    for (int i = 0; i < n; ++i) fails += (status[i] != 0);
+    return fails;
+}
+
+}  // extern "C"
+
+#else  // !DPX_WITH_CODECS
+
+extern "C" {
+int dpx_has_codecs() { return 0; }
+}
+
+#endif  // DPX_WITH_CODECS

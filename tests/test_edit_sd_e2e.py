@@ -176,3 +176,16 @@ def test_host_loop_harvest_matches_fused(sd_driver, tmp_path):
     for et in fused:
         a, b = np.load(hosted[et]), np.load(fused[et])
         np.testing.assert_allclose(a["s"], b["s"], rtol=5e-3)
+
+
+def test_text_driven_direction(sd_driver):
+    """Working spec for the reference's aspirational flag: ±JᵀΔh edits
+    produce PNGs and the direction is unit-norm."""
+    names = sd_driver.run_edit_text_driven_direction(idx=0)
+    assert len(names) == 2
+    for n in names:
+        assert os.path.exists(
+            os.path.join(sd_driver.cfg.result_folder, n + ".png")
+        ), n
+    # idempotent
+    assert sd_driver.run_edit_text_driven_direction(idx=0) == names
