@@ -98,9 +98,9 @@ class EditStableDiffusionXL(EditStableDiffusion):
             jnp.broadcast_to(self._time_ids, (b, 6)),
         )
 
-    def _tap_encode(self, params, z, t, prompt_emb, tap: TapPoint):
+    def _tap_encode(self, params, z, t, prompt_emb, tap: TapPoint, unet=None):
         ctx, pooled = prompt_emb
-        return self.unet.apply(
+        return (unet or self.unet).apply(
             params, z, t, ctx, tap,
             added_cond=self._added(pooled, z.shape[0]),
             method=UNet2DCondition.encode,

@@ -92,3 +92,29 @@ def test_cli_mesh_axes_parsing(monkeypatch):
 
     A.mesh_axes = ""
     assert cli.build_mesh(A()) is None
+
+
+def test_sharded_pullback_with_fn_vjp():
+    """make_sharded_pullback(fn_vjp=...): probe sharding composes with the
+    dual-encoder (second-linearization) cotangent path."""
+    import jax.numpy as jnp
+
+    from diffusion_pullback_tpu.parallel import make_sharded_pullback
+    from diffusion_pullback_tpu.geometry import local_pullback
+
+    W = jax.random.normal(jax.random.key(1), (24, 16)) / 4.0
+    f = lambda x, w: jnp.tanh(x @ w)
+    x = jax.random.normal(jax.random.key(2), (1, 24))
+
+    mesh = make_mesh(("probe",))
+    runner = make_sharded_pullback(
+        f, mesh, pca_rank=8, min_iter=3, max_iter=10, atol=1e-6,
+        fn_vjp=f,
+    )
+    r_sh = runner(x, jax.random.key(3), W)
+    r_ref = local_pullback(lambda z: f(z, W), x, jax.random.key(3),
+                           pca_rank=8, min_iter=3, max_iter=10, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r_sh.s), np.asarray(r_ref.s),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(r_sh.vT), np.asarray(r_ref.vT),
+                               atol=1e-4)
