@@ -45,6 +45,10 @@ def bench_sd_pullback():
 
     cfg = sd21_base_unet()
     unet = UNet2DCondition(cfg)
+    # the differentiated encoder runs the fused flash kernel pair (measured
+    # 0.59 s xla → 0.38 s on one v5e chip at this shape)
+    unet_jvp = UNet2DCondition(dataclasses.replace(cfg, attn_impl="flash_jvp"))
+    unet_vjp = UNet2DCondition(dataclasses.replace(cfg, attn_impl="flash"))
     z = jax.random.normal(jax.random.key(0), (1, 64, 64, 4), jnp.float32)
     ctx = jax.random.normal(jax.random.key(1), (1, 77, 1024), jnp.float32)
     t = jnp.float32(699.3)
@@ -52,10 +56,13 @@ def bench_sd_pullback():
 
     tap = TapPoint("mid", 0)
     RANK, ITERS = 8, 5
+    enc = lambda u: (lambda p, q, c: u.apply(p, q, t, c, tap, method=U.encode))
+    e_jvp, e_vjp = enc(unet_jvp), enc(unet_vjp)
     pull = jax.jit(
         lambda p, zz, c, k: local_pullback(
-            lambda q: unet.apply(p, q, t, c, tap, method=U.encode),
+            lambda q: e_jvp(p, q, c),
             zz, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS, atol=0.0,
+            fn_vjp=lambda q: e_vjp(p, q, c),
         )
     )
     jax.block_until_ready(pull(params, z, ctx, jax.random.key(3)))

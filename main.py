@@ -234,7 +234,10 @@ def build_sd(args, mesh=None):
         x_space_guidance_num_step=args.x_space_guidance_num_step or 16,
         pca_rank=args.pca_rank,
         loop_impl=args.loop_impl,
-        pullback_attn_impl=args.pullback_attn_impl,
+        # fused flash pair by default on accelerators (measured 1.5-5.2x
+        # over xla/blockwise); pass --pullback_attn_impl xla to opt out
+        pullback_attn_impl=args.pullback_attn_impl or (
+            "flash" if jax.default_backend() != "cpu" else ""),
         pullback_guidance_scale=args.pullback_guidance_scale,
         pullback_chunk_size=args.pullback_chunk_size or None,
         result_folder=args.result_folder,
@@ -381,7 +384,10 @@ def build_sdxl(args, mesh=None):
         x_space_guidance_num_step=args.x_space_guidance_num_step or 16,
         pca_rank=args.pca_rank,
         loop_impl=args.loop_impl,
-        pullback_attn_impl=args.pullback_attn_impl,
+        # fused flash pair by default on accelerators (measured 1.5-5.2x
+        # over xla/blockwise); pass --pullback_attn_impl xla to opt out
+        pullback_attn_impl=args.pullback_attn_impl or (
+            "flash" if jax.default_backend() != "cpu" else ""),
         pullback_guidance_scale=args.pullback_guidance_scale,
         pullback_chunk_size=args.pullback_chunk_size or 1,
         pullback_remat=True,
