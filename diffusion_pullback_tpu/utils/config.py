@@ -116,6 +116,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="e.g. 'dp:2,probe:4'; empty = single device")
     p.add_argument("--attn_impl", type=str, default="auto",
                    choices=["auto", "xla", "blockwise", "flash"])
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="wrap the run in a jax.profiler trace "
+                        "(Perfetto/XPlane dump into this directory)")
     p.add_argument("--pullback_guidance_scale", type=float, default=0.0,
                    help="CFG inside the JVP'd encoder (BASELINE config 4): "
                         ">0 differentiates h_edit + s*(h_edit - h_neg) as a "

@@ -411,7 +411,13 @@ def build_sdxl(args, mesh=None):
 
 def main(argv=None):
     args = preset(parse_args(argv))
+    from diffusion_pullback_tpu.utils.profiling import trace
 
+    with trace(getattr(args, "profile_dir", "")):
+        _dispatch(args)
+
+
+def _dispatch(args):
     mesh = build_mesh(args)
     if getattr(args, "is_sdxl", False):
         edit = build_sdxl(args, mesh=mesh)
