@@ -52,34 +52,76 @@ def basis_name(
     )
 
 
+def load_basis(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Format-agnostic (u, s, vT) load of a basis file (.dpb or .npz)."""
+    if path.endswith(".dpb"):
+        from ..utils.native import basis_read
+
+        out = basis_read(path)
+        if out is None:
+            raise OSError(f"unreadable native basis file: {path}")
+        return out
+    z = np.load(path)
+    return tuple(_from_npz(z[k]) for k in ("u", "s", "vT"))
+
+
 class BasisCache:
+    """Preferred storage is the native mmap format (.dpb — one binary file,
+    atomic fsync'd write in C++, zero-copy np.memmap load;
+    native/basisstore.cpp); .npz is the pure-Python fallback and stays
+    readable for caches written by earlier rounds."""
+
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        from ..utils import native
+
+        self._native = native.get_lib() is not None and hasattr(
+            native.get_lib(), "dpx_basis_write"
+        )
 
     def path(self, name: str) -> str:
-        return os.path.join(self.root, name + ".npz")
+        """The basis file for `name`: whichever format exists, else the
+        preferred one for new writes."""
+        dpb = os.path.join(self.root, name + ".dpb")
+        npz = os.path.join(self.root, name + ".npz")
+        if os.path.exists(dpb):
+            return dpb
+        if os.path.exists(npz):
+            return npz
+        return dpb if self._native else npz
 
     def load(self, name: str) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         p = self.path(name)
         if not os.path.exists(p):
             return None
         try:
+            if p.endswith(".dpb"):
+                from ..utils.native import basis_read
+
+                return basis_read(p)
             z = np.load(p)
             return tuple(_from_npz(z[k]) for k in ("u", "s", "vT"))
         except Exception:
             return None
 
     def save(self, name: str, u, s, vT) -> str:
-        p = self.path(name)
+        # widen to f32: the stores hold bfloat16 poorly (npz as raw void,
+        # dpb is f32-only by format)
+        u, s, vT = _to_f32(u), _to_f32(s), _to_f32(vT)
+        if self._native:
+            from ..utils.native import basis_write
+
+            p = os.path.join(self.root, name + ".dpb")
+            if basis_write(p, u, s, vT):
+                return p
+        p = os.path.join(self.root, name + ".npz")
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".npz.tmp")
         try:
             # pass the file object: np.savez appends '.npz' to bare paths,
             # which would leave the real tmp file empty
             with os.fdopen(fd, "wb") as f:
-                # widen to f32: npz stores bfloat16 as raw void ("|V2"),
-                # which neither numpy nor jnp.asarray can interpret back
-                np.savez(f, u=_to_f32(u), s=_to_f32(s), vT=_to_f32(vT))
+                np.savez(f, u=u, s=s, vT=vT)
             os.replace(tmp, p)  # atomic on POSIX
         finally:
             if os.path.exists(tmp):

@@ -116,6 +116,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="e.g. 'dp:2,probe:4'; empty = single device")
     p.add_argument("--attn_impl", type=str, default="auto",
                    choices=["auto", "xla", "blockwise", "flash"])
+    p.add_argument("--debug_nans", type=str2bool, default=False,
+                   help="jax_debug_nans sanitizer: fail fast with a "
+                        "traceback at the first NaN-producing op")
     p.add_argument("--profile_dir", type=str, default="",
                    help="wrap the run in a jax.profiler trace "
                         "(Perfetto/XPlane dump into this directory)")

@@ -73,6 +73,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 f32p, ctypes.POINTER(ctypes.c_int),
             ]
             lib.dpx_decode_batch.restype = ctypes.c_int
+        if hasattr(lib, "dpx_basis_write"):
+            lib.dpx_basis_write.argtypes = [
+                ctypes.c_char_p, f32p, ctypes.c_int, ctypes.c_int,
+                f32p, ctypes.c_int, f32p, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.dpx_basis_write.restype = ctypes.c_int
+            lib.dpx_basis_read_header.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.dpx_basis_read_header.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -156,3 +166,46 @@ def decode_batch(paths, out_size: int):
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )
     return out, status == 0
+
+
+_BASIS_HEADER_BYTES = 32
+
+
+def basis_write(path: str, u: np.ndarray, s: np.ndarray,
+                vT: np.ndarray) -> bool:
+    """Atomic fsync'd write of one basis triplet in the native mmap format
+    (native/basisstore.cpp). False if the lib is unavailable or the write
+    failed (caller falls back to npz)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "dpx_basis_write"):
+        return False
+    u = np.ascontiguousarray(u, np.float32)
+    s = np.ascontiguousarray(s, np.float32)
+    vT = np.ascontiguousarray(vT, np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    rc = lib.dpx_basis_write(
+        path.encode(),
+        u.ctypes.data_as(f32p), u.shape[0], u.shape[1],
+        s.ctypes.data_as(f32p), s.shape[0],
+        vT.ctypes.data_as(f32p), vT.shape[0], vT.shape[1],
+    )
+    return rc == 0
+
+
+def basis_read(path: str):
+    """Zero-copy load of a native basis file: (u, s, vT) as read-only
+    np.memmap views. None on any failure."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "dpx_basis_read_header"):
+        return None
+    dims = (ctypes.c_int * 5)()
+    if lib.dpx_basis_read_header(path.encode(), dims) != 0:
+        return None
+    u0, u1, k, v0, v1 = (int(d) for d in dims)
+    off = _BASIS_HEADER_BYTES
+    u = np.memmap(path, np.float32, "r", offset=off, shape=(u0, u1))
+    off += 4 * u0 * u1
+    s = np.memmap(path, np.float32, "r", offset=off, shape=(k,))
+    off += 4 * k
+    vT = np.memmap(path, np.float32, "r", offset=off, shape=(v0, v1))
+    return u, s, vT

@@ -413,6 +413,11 @@ def main(argv=None):
     args = preset(parse_args(argv))
     from diffusion_pullback_tpu.utils.profiling import trace
 
+    if getattr(args, "debug_nans", False):
+        # NaN sanitizer (SURVEY §5: the reference has none; determinism +
+        # fail-fast NaN checks are the jit-purity equivalents)
+        jax.config.update("jax_debug_nans", True)
+
     with trace(getattr(args, "profile_dir", "")):
         _dispatch(args)
 

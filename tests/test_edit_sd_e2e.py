@@ -26,6 +26,13 @@ from diffusion_pullback_tpu.utils.logging import JSONLLogger
 
 import dataclasses
 
+def _basis(path):
+    from diffusion_pullback_tpu.experiments import load_basis
+
+    u, s, vT = load_basis(path)
+    return {"u": u, "s": s, "vT": vT}
+
+
 
 @pytest.fixture()
 def sd_driver(tmp_path):
@@ -174,7 +181,7 @@ def test_host_loop_harvest_matches_fused(sd_driver, tmp_path):
     )
     assert hosted.keys() == fused.keys()
     for et in fused:
-        a, b = np.load(hosted[et]), np.load(fused[et])
+        a, b = _basis(hosted[et]), _basis(fused[et])
         np.testing.assert_allclose(a["s"], b["s"], rtol=5e-3)
 
 

@@ -23,6 +23,13 @@ from diffusion_pullback_tpu.parallel import make_mesh
 from diffusion_pullback_tpu.utils.datasets import NoiseDataset
 from diffusion_pullback_tpu.utils.logging import JSONLLogger
 
+def _basis(path):
+    from diffusion_pullback_tpu.experiments import load_basis
+
+    u, s, vT = load_basis(path)
+    return {"u": u, "s": s, "vT": vT}
+
+
 
 def _driver(tmp_path, mesh, tag):
     cfg = UncondExperimentConfig(
@@ -73,7 +80,7 @@ def test_dp_mesh_harvest_matches_single_device(tmp_path):
         0, pca_rank=8, t_grid=grid
     )
     for et in grid:
-        a, b = np.load(out2[et]), np.load(out0[et])
+        a, b = _basis(out2[et]), _basis(out0[et])
         np.testing.assert_allclose(a["s"], b["s"], rtol=1e-3)
 
 

@@ -131,3 +131,46 @@ def test_img_dataset_load_batch(tmp_path):
     assert batch.shape == (4, 16, 16, 3)
     for i in range(4):
         np.testing.assert_allclose(batch[i], ds[i][0], atol=2 / 255.0)
+
+
+def test_native_basis_store_roundtrip(tmp_path):
+    """.dpb store: atomic native write, zero-copy memmap load, BasisCache
+    preference + npz fallback interop."""
+    from diffusion_pullback_tpu.experiments import BasisCache, load_basis
+    from diffusion_pullback_tpu.utils import native
+
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=(24, 6)).astype(np.float32)
+    s = rng.uniform(1, 3, size=(6,)).astype(np.float32)
+    vT = rng.normal(size=(6, 48)).astype(np.float32)
+
+    c = BasisCache(str(tmp_path))
+    p = c.save("b", u, s, vT)
+    got = c.load("b")
+    assert got is not None
+    for a, b in zip(got, (u, s, vT)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    # load_basis reads the same file by path
+    u2, s2, vT2 = load_basis(p)
+    np.testing.assert_array_equal(np.asarray(vT2), vT)
+
+    lib = native.get_lib()
+    if lib is not None and hasattr(lib, "dpx_basis_write"):
+        assert p.endswith(".dpb")
+        # header survives a direct native read
+        trio = native.basis_read(p)
+        assert trio is not None and trio[0].shape == (24, 6)
+        # corrupt magic → graceful failure
+        bad = str(tmp_path / "bad.dpb")
+        open(bad, "wb").write(b"\x00" * 64)
+        assert native.basis_read(bad) is None
+
+    # legacy npz files remain loadable through the same cache
+    import os
+
+    npz_only = BasisCache(str(tmp_path / "legacy"))
+    npz_only._native = False
+    p2 = npz_only.save("b", u, s, vT)
+    assert p2.endswith(".npz")
+    got2 = npz_only.load("b")
+    np.testing.assert_array_equal(np.asarray(got2[2]), vT)
