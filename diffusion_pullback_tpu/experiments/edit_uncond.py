@@ -49,6 +49,8 @@ class UncondExperimentConfig:
     x_space_guidance_edit_step: float = 1.0
     x_space_guidance_scale: float = 0.1
     x_space_guidance_num_step: int = 16
+    # h-space guidance (working spec; 0 = reuse x_space_guidance_scale)
+    h_space_guidance_scale: float = 0.0
     # performance boosting: η=1 below this fraction of T (edit.py:1650)
     performance_boosting_t: float = 0.2
     use_performance_boosting: bool = True
@@ -342,6 +344,125 @@ class EditUncondDiffusion:
                     f"-block_{block_idx}-pc_{pc:03d}_{tag}"
                 )
         return self._edit_along_directions(xt, vks, names, vis_num)
+
+    def run_edit_h_space_guidance(
+        self,
+        idx: int,
+        op: str = "mid",
+        block_idx: int = 0,
+        pca_rank: Optional[int] = None,
+        vis_num: Optional[int] = None,
+        vis_num_pc: Optional[int] = None,
+        scale: Optional[float] = None,
+    ):
+        """h-space editing — working spec of the reference's aspirational
+        path (edit.py:1236,1504 call self.h_space_guidance which is never
+        defined; the h_space_guidance_scale / edit_ht='h_space_guidance'
+        knobs are commented out of its argparser).
+
+        Directions are the h-space singular vectors u_k of the pullback
+        basis. Each micro-step perturbs the tapped feature and resumes the
+        pass (forward_dh semantics, utils.py:350-436), then applies the same
+        DDS update as x-space guidance:
+
+            h, state = encode(x_t)                      # ONE encoder pass
+            [ε_null; ε_edit] = decode([h; h + δ·û_k], state)
+            x_t ← x_t + scale·(ε_edit − ε_null)
+
+        ε_null/ε_edit sharing the encoder pass is the TPU-native fusion the
+        reference's forward_dh design implies but never exploits."""
+        cfg = self.cfg
+        pca_rank = pca_rank or max(cfg.pca_rank, 2)
+        vis_num = vis_num or cfg.vis_num
+        vis_num_pc = vis_num_pc or cfg.vis_num_pc
+        scale = scale if scale is not None else (
+            cfg.h_space_guidance_scale or cfg.x_space_guidance_scale)
+        tap = TapPoint(op, block_idx)
+
+        xT = self.run_ddim_inversion(idx)
+        xt = self.forward_to_edit_t(xT)
+        t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
+
+        name = basis_name(cfg.dataset_name, idx, cfg.edit_t, op, block_idx,
+                          cfg.seed)
+        cached = self.cache.load(name)
+        if cached is not None:
+            u, s, vT = map(jnp.asarray, cached)
+        else:
+            res = self.compute_local_basis(xt, t_edit, tap, pca_rank)
+            u, s, vT = res.u, res.s, res.vT
+            self.cache.save(name, u, s, vT)
+
+        h_shape = jax.eval_shape(
+            lambda z: self.model.apply(self.params, z, t_edit, tap,
+                                       method=type(self.model).encode), xt
+        ).shape
+        c_out = self.model.config.out_channels
+        learn_sigma = getattr(self.model.config, "learn_sigma", False)
+
+        names, dhs = [], []
+        for pc in range(vis_num_pc):
+            uk = u[:, pc]
+            uk = (uk / jnp.linalg.norm(uk)).reshape(h_shape)
+            for sign, stag in ((1.0, "pos"), (-1.0, "neg")):
+                dhs.append(sign * cfg.x_space_guidance_edit_step * uk)
+                names.append(
+                    f"Edit_h_space-{cfg.dataset_name}_{idx}"
+                    f"-edit_{cfg.edit_t}T-{op}-block_{block_idx}"
+                    f"-pc_{pc:03d}_{stag}"
+                )
+        todo = [i for i, n in enumerate(names) if not os.path.exists(
+            os.path.join(cfg.result_folder, n + ".png"))]
+        if not todo:
+            self.log.log("all_edits_cached")
+            return names
+        dh_batch = jnp.stack([dhs[i] for i in todo])
+
+        stride = max(1, (cfg.x_space_guidance_num_step + 1) // vis_num)
+        boost = self.boost_start_idx if cfg.use_performance_boosting else None
+
+        def edit_one(p, z_start, dh, key):
+            def micro(z, _):
+                h, state = self.model.apply(
+                    p, z, t_edit, tap, method=type(self.model).encode_with_state
+                )
+                h2 = jnp.concatenate([h, h + dh], axis=0)  # dh: (1, *h_spatial)
+                eps2 = self.model.apply(
+                    p, h2, state, tap, method=type(self.model).decode_with_state
+                )
+                if learn_sigma:
+                    eps2 = eps2[..., :c_out]
+                z_new = z + scale * (eps2[1:] - eps2[:1])
+                return z_new, z_new
+
+            _, traj = jax.lax.scan(
+                micro, z_start, None, length=cfg.x_space_guidance_num_step
+            )
+            traj = jnp.concatenate([z_start[None], traj], axis=0)
+            sel = traj[::stride, 0]
+            return ddim_forward(
+                self._eps_with(p), sel, self.schedule, self.fwd_grid,
+                start_idx=self.edit_t_idx, boost_start_idx=boost, key=key,
+            )
+
+        run_all = self._jitted(
+            f"h_edit_batch_{tap}_{len(todo)}_{stride}",
+            lambda p, z_start, ds, keys: jax.vmap(
+                lambda dh, k: edit_one(p, z_start, dh, k)
+            )(ds, keys),
+        )
+        keys = jax.random.split(jax.random.key(cfg.seed + 2), len(todo))
+        t0 = time.perf_counter()
+        imgs = run_all(self.params, xt, dh_batch, keys)
+        imgs.block_until_ready()
+        self.log.log("h_space_guidance_edit", directions=len(todo),
+                     seconds=time.perf_counter() - t0)
+        for j, i in enumerate(todo):
+            save_image_grid(
+                np.asarray(imgs[j]),
+                os.path.join(cfg.result_folder, names[i] + ".png"),
+            )
+        return names
 
     def _edit_along_directions(self, xt, vks, names, vis_num):
         """Shared tail of every editing experiment: vmapped x-space-guidance

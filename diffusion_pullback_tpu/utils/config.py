@@ -96,6 +96,7 @@ def build_parser() -> argparse.ArgumentParser:
         "run_edit_parallel_transport",
         "run_edit_global_hungarian_mean_zt",
         "run_edit_text_driven_direction",
+        "run_edit_h_space_guidance",
         "run_edit_global_pca_zt",
         "fix_xt",
         "fix_t",
@@ -116,6 +117,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="e.g. 'dp:2,probe:4'; empty = single device")
     p.add_argument("--attn_impl", type=str, default="auto",
                    choices=["auto", "xla", "blockwise", "flash"])
+    p.add_argument("--h_space_guidance_scale", type=float, default=0.0,
+                   help="DDS scale for h-space guidance edits (0 = reuse "
+                        "x_space_guidance_scale); the reference comments "
+                        "this flag out and never defines the method")
     p.add_argument("--debug_nans", type=str2bool, default=False,
                    help="jax_debug_nans sanitizer: fail fast with a "
                         "traceback at the first NaN-producing op")

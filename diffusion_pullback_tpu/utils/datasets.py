@@ -112,6 +112,38 @@ def get_dataset(
     )
 
 
+class BenchmarkDataset:
+    """Reference BenchmarkDataset (utils.py:1409-1438): a
+    raw_images/{train,test}/images folder of integer-named images,
+    stretch-resized (NO center crop — unlike ImgDataset) to img_size and
+    normalized to [-1, 1]; items are (1, S, S, 3) NHWC."""
+
+    EXTS = ("jpg", "jpeg", "png")
+
+    def __init__(self, image_root: str, img_size: int = 256,
+                 is_train: bool = True):
+        split = "train" if is_train else "test"
+        self.image_dir = os.path.join(image_root, "raw_images", split,
+                                      "images")
+        names = [n for n in os.listdir(self.image_dir)
+                 if n.split(".")[-1].lower() in self.EXTS]
+        self.files = sorted(names, key=lambda n: int(n.split(".")[0]))
+        if not self.files:
+            raise FileNotFoundError(f"no images under {self.image_dir}")
+        self.img_size = img_size
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        from PIL import Image
+
+        img = Image.open(os.path.join(self.image_dir, self.files[idx]))
+        img = img.convert("RGB").resize((self.img_size, self.img_size))
+        arr = np.asarray(img, np.float32) / 255.0
+        return (arr * 2.0 - 1.0)[None]
+
+
 class HFDataset:
     """Local HuggingFace `datasets` folder (e.g. flowers-102) — reference
     HFDataset (utils.py:1371-1438). Zero-egress: only `load_from_disk`

@@ -127,6 +127,7 @@ def build_uncond(args, mesh=None):
         x_space_guidance_edit_step=args.x_space_guidance_edit_step,
         x_space_guidance_scale=args.x_space_guidance_scale or 0.1,
         x_space_guidance_num_step=args.x_space_guidance_num_step or 16,
+        h_space_guidance_scale=args.h_space_guidance_scale,
         performance_boosting_t=args.performance_boosting_t,
         use_performance_boosting=args.performance_boosting_t > 0,
         pca_rank=args.pca_rank,
@@ -515,6 +516,19 @@ def _dispatch(args):
             idx=args.sample_idx,
             basis_indices=list(range(min(args.num_local_basis, 5))),
             op="mid", block_idx=0, pca_rank=10, vis_num=4, vis_num_pc=2,
+        )
+
+    if getattr(args, "run_edit_h_space_guidance", False):
+        if not hasattr(edit, "run_edit_h_space_guidance"):
+            raise SystemExit(
+                "--run_edit_h_space_guidance is implemented on the "
+                "unconditional family (the reference's h-space path is "
+                "aspirational everywhere — edit.py:1236 calls an undefined "
+                "method)")
+        edit.run_edit_h_space_guidance(
+            idx=args.sample_idx, op="mid", block_idx=0,
+            pca_rank=args.pca_rank or 2,
+            scale=args.h_space_guidance_scale or None,
         )
 
     if getattr(args, "run_edit_text_driven_direction", False):

@@ -175,3 +175,42 @@ def test_psd_visualization(tmp_path):
     import os
 
     assert os.path.exists(out)
+
+
+def test_h_space_guidance_edit(tmp_path):
+    """Working spec of the reference's undefined h_space_guidance
+    (edit.py:1236): u_k-direction feature perturbations with a shared
+    encoder pass, DDS micro-walk, boosted finish, PNGs."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_pullback_tpu.experiments import (
+        EditUncondDiffusion,
+        UncondExperimentConfig,
+    )
+    from diffusion_pullback_tpu.models import UNet2D, ddpm_tiny
+    from diffusion_pullback_tpu.ops import DiffusionSchedule
+    from diffusion_pullback_tpu.utils.datasets import NoiseDataset
+    from diffusion_pullback_tpu.utils.logging import JSONLLogger
+
+    cfg = UncondExperimentConfig(
+        for_steps=8, inv_steps=8, edit_t=0.6, pca_rank=4,
+        pullback_min_iter=2, pullback_max_iter=4,
+        x_space_guidance_num_step=3, vis_num=2, vis_num_pc=1,
+        result_folder=str(tmp_path / "runs"),
+        obs_folder=str(tmp_path / "obs"),
+        basis_folder=str(tmp_path / "inputs"),
+    )
+    model = UNet2D(ddpm_tiny(16))
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                        jnp.float32(0.0))
+    drv = EditUncondDiffusion(
+        model, params, DiffusionSchedule.linear(), NoiseDataset(16, n=2),
+        cfg, logger=JSONLLogger(path=None, echo=False),
+    )
+    names = drv.run_edit_h_space_guidance(idx=0)
+    assert len(names) == 2
+    for n in names:
+        assert os.path.exists(os.path.join(cfg.result_folder, n + ".png")), n
+    # idempotent + shares the basis cache with the x-space experiment
+    assert drv.run_edit_h_space_guidance(idx=0) == names

@@ -174,3 +174,24 @@ def test_native_basis_store_roundtrip(tmp_path):
     assert p2.endswith(".npz")
     got2 = npz_only.load("b")
     np.testing.assert_array_equal(np.asarray(got2[2]), vT)
+
+
+def test_benchmark_dataset(tmp_path):
+    """Reference BenchmarkDataset semantics: train/test folder layout,
+    integer ordering, stretch resize (no crop)."""
+    from PIL import Image
+
+    from diffusion_pullback_tpu.utils.datasets import BenchmarkDataset
+
+    d = tmp_path / "raw_images" / "train" / "images"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(2)
+    for i in (2, 0, 10):
+        arr = rng.uniform(0, 255, size=(30, 50, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"{i}.png")
+    ds = BenchmarkDataset(str(tmp_path), img_size=16)
+    assert len(ds) == 3
+    assert ds.files == ["0.png", "2.png", "10.png"]  # integer ordering
+    x = ds[0]
+    assert x.shape == (1, 16, 16, 3)
+    assert -1.0 <= x.min() and x.max() <= 1.0
