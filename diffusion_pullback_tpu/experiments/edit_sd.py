@@ -441,6 +441,16 @@ class EditStableDiffusion:
         )
         return res
 
+    def _make_tap(self, op, block_idx, after_res=False, after_sa=False):
+        """Intra-block tap modifiers (reference after_res/after_sa,
+        down_block_forward utils.py:638-719: tap after the block's last
+        resnet / transformer instead of the block output)."""
+        if after_res or after_sa:
+            layer = self.unet.config.layers_per_block - 1
+            inner = ("res", layer) if after_res else ("attn", layer)
+            return TapPoint(op, block_idx, inner)
+        return TapPoint(op, block_idx)
+
     def run_edit_local_encoder_pullback_zt(
         self,
         idx: int,
@@ -451,6 +461,8 @@ class EditStableDiffusion:
         vis_num_pc: Optional[int] = None,
         edit_prompt: Optional[str] = None,
         edit_t: Optional[float] = None,
+        after_res: bool = False,
+        after_sa: bool = False,
     ):
         """Headline SD experiment (edit.py:185-307)."""
         cfg = self.cfg
@@ -460,7 +472,7 @@ class EditStableDiffusion:
         pca_rank = pca_rank or cfg.pca_rank
         vis_num = vis_num or cfg.vis_num
         vis_num_pc = vis_num_pc or cfg.vis_num_pc
-        tap = TapPoint(op, block_idx)
+        tap = self._make_tap(op, block_idx, after_res, after_sa)
 
         zT = self.run_DDIMinversion(idx)
         zt = self.DDIMforwardsteps(zT, 0, self.edit_t_idx)
@@ -470,7 +482,7 @@ class EditStableDiffusion:
         name = basis_name(
             cfg.dataset_name, idx, cfg.edit_t, op, block_idx, cfg.seed,
             edit_prompt=cfg.edit_prompt,
-        )
+        ) + (f"-after_{tap.inner[0]}{tap.inner[1]}" if tap.inner else "")
         cached = self.cache.load(name)
         if cached is not None:
             u, s, vT = map(jnp.asarray, cached)
@@ -874,6 +886,8 @@ class EditStableDiffusion:
         pca_rank: int = 50,
         t_grid=None,
         sequential: bool = True,
+        after_res: bool = False,
+        after_sa: bool = False,
     ):
         """One-jit harvest over the timestep grid (SD flavour of the uncond
         batched sweep): trajectory collected by the inversion-side scan, the
@@ -884,15 +898,16 @@ class EditStableDiffusion:
         from ..samplers.ddim_loop import ddim_scan
 
         cfg = self.cfg
-        tap = TapPoint(op, block_idx)
+        tap = self._make_tap(op, block_idx, after_res, after_sa)
         t_grid = t_grid or tuple(_np.linspace(0.1, 1.0, 10).round(2))
         t_indices = tuple(
             int(jnp.argmin(jnp.abs(self.fwd_grid.timesteps - et * 1000.0)))
             for et in t_grid
         )
+        suffix = f"-after_{tap.inner[0]}{tap.inner[1]}" if tap.inner else ""
         names = [
             basis_name(cfg.dataset_name, idx, et, op, block_idx, cfg.seed,
-                       edit_prompt=cfg.edit_prompt)
+                       edit_prompt=cfg.edit_prompt) + suffix
             for et in t_grid
         ]
         if all(self.cache.load(n) is not None for n in names):

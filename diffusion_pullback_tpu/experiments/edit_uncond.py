@@ -51,6 +51,14 @@ class UncondExperimentConfig:
     x_space_guidance_num_step: int = 16
     # h-space guidance (working spec; 0 = reuse x_space_guidance_scale)
     h_space_guidance_scale: float = 0.0
+    # post-edit latent regularizers (working specs of the reference's
+    # undefined hooks, edit.py:1192-1198; defaults from its commented flags)
+    use_dynamic_thresholding: bool = False
+    dynamic_thresholding_q: float = 0.8
+    use_preserve_contrast: bool = False
+    use_preserve_norm: bool = False
+    use_sega_reg: bool = False
+    sega_reg_sigma: float = 1.0
     # performance boosting: η=1 below this fraction of T (edit.py:1650)
     performance_boosting_t: float = 0.2
     use_performance_boosting: bool = True
@@ -275,6 +283,16 @@ class EditUncondDiffusion:
 
     # ---- headline experiment ---------------------------------------------
 
+    def _make_tap(self, op, block_idx, after_res=False, after_sa=False):
+        """Intra-block tap modifiers (reference after_res/after_sa flags,
+        down_block_forward utils.py:638-719: the tap moves after the block's
+        LAST resnet / self-attention instead of the block output)."""
+        if after_res or after_sa:
+            layer = self.model.config.layers_per_block - 1
+            inner = ("res", layer) if after_res else ("attn", layer)
+            return TapPoint(op, block_idx, inner)
+        return TapPoint(op, block_idx)
+
     def run_edit_local_encoder_pullback_xt(
         self,
         idx: int,
@@ -283,6 +301,8 @@ class EditUncondDiffusion:
         pca_rank: Optional[int] = None,
         vis_num: Optional[int] = None,
         vis_num_pc: Optional[int] = None,
+        after_res: bool = False,
+        after_sa: bool = False,
     ):
         """Reference run_edit_local_encoder_pullback_zt (uncond flavour,
         edit.py:680-779): invert → partial forward → pullback basis (cached)
@@ -294,7 +314,7 @@ class EditUncondDiffusion:
         pca_rank = pca_rank or cfg.pca_rank
         vis_num = vis_num or cfg.vis_num
         vis_num_pc = vis_num_pc or cfg.vis_num_pc
-        tap = TapPoint(op, block_idx)
+        tap = self._make_tap(op, block_idx, after_res, after_sa)
 
         xT = self.run_ddim_inversion(idx)
         xt = self.forward_to_edit_t(xT)
@@ -303,7 +323,7 @@ class EditUncondDiffusion:
 
         name = basis_name(
             cfg.dataset_name, idx, cfg.edit_t, op, block_idx, cfg.seed
-        )
+        ) + (f"-after_{tap.inner[0]}{tap.inner[1]}" if tap.inner else "")
         cached = self.cache.load(name)
         if cached is not None:
             u, s, vT = map(jnp.asarray, cached)
@@ -489,6 +509,17 @@ class EditUncondDiffusion:
                 scale=cfg.x_space_guidance_scale,
             )                                   # (S+1, 1, H, W, C)
             sel = traj[::stride, 0]             # (vis, H, W, C)
+            # post-edit regularizers in the reference's order (:1192-1198)
+            from ..samplers.regularizers import (
+                dynamic_thresholding, preserve_contrast, preserve_norm,
+            )
+
+            if cfg.use_dynamic_thresholding:
+                sel = dynamic_thresholding(sel, cfg.dynamic_thresholding_q)
+            if cfg.use_preserve_contrast:
+                sel = preserve_contrast(sel, z_start)
+            if cfg.use_preserve_norm:
+                sel = preserve_norm(sel, z_start)
             return ddim_forward(
                 eps, sel, self.schedule, self.fwd_grid,
                 start_idx=self.edit_t_idx,
@@ -779,6 +810,10 @@ class EditUncondDiffusion:
             v = inv(self.params, xt, t_edit,
                     u_mean[:, pc].reshape(h_shape))
             v = v / jnp.linalg.norm(v)
+            if cfg.use_sega_reg:
+                from ..samplers.regularizers import sega_sparsify
+
+                v = sega_sparsify(v, cfg.sega_reg_sigma)
             for sign, stag in ((1.0, "pos"), (-1.0, "neg")):
                 vks.append(sign * v.reshape(shape))
                 names.append(
@@ -886,6 +921,8 @@ class EditUncondDiffusion:
         sequential: bool = True,
         fix_xt: bool = False,
         fix_t: bool = False,
+        after_res: bool = False,
+        after_sa: bool = False,
     ):
         """The throughput version of basis harvesting: ONE jitted program
         computes the whole timestep sweep — the forward trajectory is
@@ -903,13 +940,14 @@ class EditUncondDiffusion:
         from ..samplers.ddim_loop import ddim_scan
 
         cfg = self.cfg
-        tap = TapPoint(op, block_idx)
+        tap = self._make_tap(op, block_idx, after_res, after_sa)
         t_grid = t_grid or tuple(np.linspace(0.1, 1.0, 10).round(2))
         t_indices = tuple(
             int(jnp.argmin(jnp.abs(self.fwd_grid.timesteps - et * 1000.0)))
             for et in t_grid
         )
-        suffix = ("-fix_xt" if fix_xt else "") + ("-fix_t" if fix_t else "")
+        suffix = ("-fix_xt" if fix_xt else "") + ("-fix_t" if fix_t else "") \
+            + (f"-after_{tap.inner[0]}{tap.inner[1]}" if tap.inner else "")
         names = [
             basis_name(cfg.dataset_name, idx, et, op, block_idx, cfg.seed)
             + suffix

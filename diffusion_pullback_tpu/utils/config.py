@@ -100,11 +100,22 @@ def build_parser() -> argparse.ArgumentParser:
         "run_edit_global_pca_zt",
         "fix_xt",
         "fix_t",
+        "after_res",
+        "after_sa",
+        "use_dynamic_thresholding",
+        "use_preserve_contrast",
+        "use_preserve_norm",
+        "use_sega_reg",
         "local_projection",
         "debug_mode",
         "sampling_mode",
     ):
         p.add_argument(f"--{flag}", type=str2bool, default=False)
+    # tap selection (the reference hardcodes op='mid', block_idx=0 in its
+    # main.py:32 and sweeps them only in commented-out blocks)
+    p.add_argument("--op", type=str, default="mid",
+                   choices=["down", "mid", "up"])
+    p.add_argument("--block_idx", type=int, default=0)
     p.add_argument("--various_prompt_type", type=str, default="")
     p.add_argument("--various_prompt_sample_idx", type=int, default=0)
     p.add_argument("--num_local_basis", type=int, default=100)
@@ -117,6 +128,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="e.g. 'dp:2,probe:4'; empty = single device")
     p.add_argument("--attn_impl", type=str, default="auto",
                    choices=["auto", "xla", "blockwise", "flash"])
+    p.add_argument("--dynamic_thresholding_q", type=float, default=0.8)
+    p.add_argument("--sega_reg_sigma", type=float, default=1.0)
+    p.add_argument("--edit_ht", type=str, default="default",
+                   help="reference-declared h-edit mode (its argparser "
+                        "comments this out); 'h_space_guidance' routes to "
+                        "run_edit_h_space_guidance")
     p.add_argument("--h_space_guidance_scale", type=float, default=0.0,
                    help="DDS scale for h-space guidance edits (0 = reuse "
                         "x_space_guidance_scale); the reference comments "

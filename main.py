@@ -128,6 +128,12 @@ def build_uncond(args, mesh=None):
         x_space_guidance_scale=args.x_space_guidance_scale or 0.1,
         x_space_guidance_num_step=args.x_space_guidance_num_step or 16,
         h_space_guidance_scale=args.h_space_guidance_scale,
+        use_dynamic_thresholding=args.use_dynamic_thresholding,
+        dynamic_thresholding_q=args.dynamic_thresholding_q,
+        use_preserve_contrast=args.use_preserve_contrast,
+        use_preserve_norm=args.use_preserve_norm,
+        use_sega_reg=args.use_sega_reg,
+        sega_reg_sigma=args.sega_reg_sigma,
         performance_boosting_t=args.performance_boosting_t,
         use_performance_boosting=args.performance_boosting_t > 0,
         pca_rank=args.pca_rank,
@@ -434,9 +440,10 @@ def _dispatch(args):
 
     if args.run_edit_local_encoder_pullback_zt:
         edit.run_edit_local_encoder_pullback_zt(
-            idx=args.sample_idx, op="mid", block_idx=0,
+            idx=args.sample_idx, op=args.op, block_idx=args.block_idx,
             vis_num=4, vis_num_pc=2, pca_rank=args.pca_rank or 2,
             edit_prompt=args.edit_prompt or None,
+            after_res=args.after_res, after_sa=args.after_sa,
         )
 
     if args.run_edit_local_encoder_pullback_zt_with_various_prompt:
@@ -445,7 +452,7 @@ def _dispatch(args):
         for prompt in get_prompt_list(num_captions=args.num_local_basis or 5):
             edit.run_edit_local_encoder_pullback_zt(
                 idx=args.various_prompt_sample_idx or args.sample_idx,
-                op="mid", block_idx=0, vis_num=4, vis_num_pc=2,
+                op=args.op, block_idx=args.block_idx, vis_num=4, vis_num_pc=2,
                 pca_rank=args.pca_rank or 2, edit_prompt=prompt,
             )
 
@@ -457,7 +464,7 @@ def _dispatch(args):
                 "only on EditUncondDiffusion)")
         edit.run_edit_parallel_transport(
             sample_idx_0=args.sample_idx_0, sample_idx_1=args.sample_idx_1,
-            op="mid", block_idx=0, vis_num=4, vis_num_pc=2, pca_rank=50,
+            op=args.op, block_idx=args.block_idx, vis_num=4, vis_num_pc=2, pca_rank=50,
         )
 
     if args.run_edit_local_decoder_pullback_zt or \
@@ -466,21 +473,21 @@ def _dispatch(args):
         # U-Net, utils.py:818-898, and ships the pixel variant on the custom
         # DDPM, diffusion.py:558-707, but never dispatches the flags)
         edit.run_edit_local_decoder_pullback_zt(
-            idx=args.sample_idx, op="mid", block_idx=0,
+            idx=args.sample_idx, op=args.op, block_idx=args.block_idx,
             pca_rank=args.pca_rank or 2,
             x0_pullback=bool(args.run_edit_local_x0_decoder_pullback_zt),
         )
 
     if args.run_edit_global_pca_zt:
         edit.run_edit_global_pca_zt(
-            idx=args.sample_idx, op="mid", block_idx=0,
+            idx=args.sample_idx, op=args.op, block_idx=args.block_idx,
             pca_rank=args.pca_rank or 2,
             num_samples=args.num_local_basis or 16,
         )
 
     if args.run_edit_local_pca_zt:
         edit.run_edit_local_pca_zt(
-            idx=args.sample_idx, op="mid", block_idx=0,
+            idx=args.sample_idx, op=args.op, block_idx=args.block_idx,
             pca_rank=max(args.pca_rank, 4), vis_num=4, vis_num_pc=2,
         )
 
@@ -494,8 +501,9 @@ def _dispatch(args):
         if not args.is_stable_diffusion:
             kwargs = dict(fix_xt=args.fix_xt, fix_t=args.fix_t)
         harvest(
-            idx=args.sample_idx, op="mid", block_idx=0, pca_rank=50,
-            t_grid=tuple(reversed(edit_t_list)), **kwargs,
+            idx=args.sample_idx, op=args.op, block_idx=args.block_idx,
+            pca_rank=50, t_grid=tuple(reversed(edit_t_list)),
+            after_res=args.after_res, after_sa=args.after_sa, **kwargs,
         )
 
     if args.run_edit_global_frechet_mean_zt:
@@ -505,7 +513,7 @@ def _dispatch(args):
         edit.run_edit_global_frechet_mean_xt(
             idx=args.sample_idx,
             basis_indices=list(range(min(args.num_local_basis, 5))),
-            op="mid", block_idx=0, pca_rank=10, vis_num=4, vis_num_pc=2,
+            op=args.op, block_idx=args.block_idx, pca_rank=10, vis_num=4, vis_num_pc=2,
         )
 
     if args.run_edit_global_hungarian_mean_zt:
@@ -515,10 +523,11 @@ def _dispatch(args):
         edit.run_edit_global_hungarian_mean_xt(
             idx=args.sample_idx,
             basis_indices=list(range(min(args.num_local_basis, 5))),
-            op="mid", block_idx=0, pca_rank=10, vis_num=4, vis_num_pc=2,
+            op=args.op, block_idx=args.block_idx, pca_rank=10, vis_num=4, vis_num_pc=2,
         )
 
-    if getattr(args, "run_edit_h_space_guidance", False):
+    if getattr(args, "run_edit_h_space_guidance", False) or \
+            getattr(args, "edit_ht", "default") == "h_space_guidance":
         if not hasattr(edit, "run_edit_h_space_guidance"):
             raise SystemExit(
                 "--run_edit_h_space_guidance is implemented on the "
@@ -526,7 +535,7 @@ def _dispatch(args):
                 "aspirational everywhere — edit.py:1236 calls an undefined "
                 "method)")
         edit.run_edit_h_space_guidance(
-            idx=args.sample_idx, op="mid", block_idx=0,
+            idx=args.sample_idx, op=args.op, block_idx=args.block_idx,
             pca_rank=args.pca_rank or 2,
             scale=args.h_space_guidance_scale or None,
         )
@@ -540,7 +549,7 @@ def _dispatch(args):
                 "--run_edit_text_driven_direction needs a text-conditioned "
                 "model (SD/SDXL family)")
         edit.run_edit_text_driven_direction(
-            idx=args.sample_idx, op="mid", block_idx=0,
+            idx=args.sample_idx, op=args.op, block_idx=args.block_idx,
         )
 
     if args.run_ddim_forward:

@@ -214,3 +214,45 @@ def test_h_space_guidance_edit(tmp_path):
         assert os.path.exists(os.path.join(cfg.result_folder, n + ".png")), n
     # idempotent + shares the basis cache with the x-space experiment
     assert drv.run_edit_h_space_guidance(idx=0) == names
+
+
+def test_inner_tap_pullback_edit(tmp_path):
+    """--after_res / --after_sa intra-block taps (reference
+    down_block_forward, utils.py:638-719) run the full pullback edit and
+    cache under a distinct basis name."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_pullback_tpu.experiments import (
+        EditUncondDiffusion,
+        UncondExperimentConfig,
+    )
+    from diffusion_pullback_tpu.models import UNet2D, ddpm_tiny
+    from diffusion_pullback_tpu.ops import DiffusionSchedule
+    from diffusion_pullback_tpu.utils.datasets import NoiseDataset
+    from diffusion_pullback_tpu.utils.logging import JSONLLogger
+
+    cfg = UncondExperimentConfig(
+        for_steps=8, inv_steps=8, edit_t=0.6, pca_rank=4,
+        pullback_min_iter=2, pullback_max_iter=4,
+        x_space_guidance_num_step=2, vis_num=2, vis_num_pc=1,
+        result_folder=str(tmp_path / "runs"),
+        obs_folder=str(tmp_path / "obs"),
+        basis_folder=str(tmp_path / "inputs"),
+    )
+    model = UNet2D(ddpm_tiny(16))
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                        jnp.float32(0.0))
+    drv = EditUncondDiffusion(
+        model, params, DiffusionSchedule.linear(), NoiseDataset(16, n=2),
+        cfg, logger=JSONLLogger(path=None, echo=False),
+    )
+    # after_res on down block 0 (plain); after_sa on block 1 (attn block)
+    n1 = drv.run_edit_local_encoder_pullback_xt(
+        idx=0, op="down", block_idx=0, after_res=True)
+    n2 = drv.run_edit_local_encoder_pullback_xt(
+        idx=0, op="down", block_idx=1, after_sa=True)
+    assert n1 != n2 and len(n1) == 2 and len(n2) == 2
+    cached = os.listdir(cfg.basis_folder)
+    assert any("after_res0" in c for c in cached)
+    assert any("after_attn0" in c for c in cached)

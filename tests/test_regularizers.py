@@ -1,0 +1,88 @@
+"""Working-spec latent regularizers (the reference's undefined
+preserve_norm / preserve_contrast / dynamic_thresholding / SEGA hooks,
+edit.py:1192-1215)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_pullback_tpu.samplers.regularizers import (
+    dynamic_thresholding,
+    preserve_contrast,
+    preserve_norm,
+    sega_sparsify,
+)
+
+
+def test_preserve_norm():
+    ref = jax.random.normal(jax.random.key(0), (1, 8, 8, 3))
+    x = 3.7 * jax.random.normal(jax.random.key(1), (4, 8, 8, 3))
+    out = preserve_norm(x, ref)
+    want = float(jnp.linalg.norm(ref.reshape(1, -1), axis=1)[0])
+    got = np.linalg.norm(np.asarray(out).reshape(4, -1), axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # directions unchanged
+    cos = np.sum(np.asarray(out).reshape(4, -1) * np.asarray(x).reshape(4, -1),
+                 axis=1)
+    assert (cos > 0).all()
+
+
+def test_preserve_contrast():
+    ref = 2.0 * jax.random.normal(jax.random.key(0), (1, 8, 8, 3)) + 0.3
+    x = 0.5 * jax.random.normal(jax.random.key(1), (4, 8, 8, 3)) - 1.0
+    out = np.asarray(preserve_contrast(x, ref)).reshape(4, -1)
+    rf = np.asarray(ref).reshape(-1)
+    np.testing.assert_allclose(out.std(axis=1), rf.std(), rtol=1e-4)
+    np.testing.assert_allclose(out.mean(axis=1), rf.mean(), atol=1e-5)
+
+
+def test_dynamic_thresholding():
+    x = jnp.asarray(np.linspace(-10, 10, 64).reshape(1, 8, 8, 1), jnp.float32)
+    out = np.asarray(dynamic_thresholding(x, q=0.5))
+    s = np.quantile(np.abs(np.asarray(x)).reshape(-1), 0.5)
+    assert np.abs(out).max() <= s + 1e-6
+    # interior values untouched
+    inner = np.abs(np.asarray(x)) <= s
+    np.testing.assert_array_equal(out[inner], np.asarray(x)[inner])
+
+
+def test_sega_sparsify():
+    v = jax.random.normal(jax.random.key(2), (256,))
+    out = np.asarray(sega_sparsify(v, sigma=1.0))
+    v_np = np.asarray(v)
+    mask = np.abs(v_np) < v_np.std()
+    assert (out[mask] == 0).all()
+    np.testing.assert_array_equal(out[~mask], v_np[~mask])
+
+
+def test_edit_tail_applies_regularizers(tmp_path):
+    """The x-space edit tail honors the preserve_norm flag end to end."""
+    from diffusion_pullback_tpu.experiments import (
+        EditUncondDiffusion,
+        UncondExperimentConfig,
+    )
+    from diffusion_pullback_tpu.models import UNet2D, ddpm_tiny
+    from diffusion_pullback_tpu.ops import DiffusionSchedule
+    from diffusion_pullback_tpu.utils.datasets import NoiseDataset
+    from diffusion_pullback_tpu.utils.logging import JSONLLogger
+    import os
+
+    cfg = UncondExperimentConfig(
+        for_steps=8, inv_steps=8, edit_t=0.6, pca_rank=2,
+        pullback_min_iter=2, pullback_max_iter=3,
+        x_space_guidance_num_step=2, vis_num=2, vis_num_pc=1,
+        use_preserve_norm=True, use_dynamic_thresholding=True,
+        result_folder=str(tmp_path / "runs"),
+        obs_folder=str(tmp_path / "obs"),
+        basis_folder=str(tmp_path / "inputs"),
+    )
+    model = UNet2D(ddpm_tiny(16))
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                        jnp.float32(0.0))
+    drv = EditUncondDiffusion(
+        model, params, DiffusionSchedule.linear(), NoiseDataset(16, n=2),
+        cfg, logger=JSONLLogger(path=None, echo=False),
+    )
+    names = drv.run_edit_local_encoder_pullback_xt(idx=0)
+    for n in names:
+        assert os.path.exists(os.path.join(cfg.result_folder, n + ".png"))
