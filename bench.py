@@ -35,6 +35,20 @@ from diffusion_pullback_tpu.samplers import ddim_forward, x_space_guidance_scan
 NORTH_STAR_SECONDS = 10.0
 
 
+def _sync(tree):
+    """Reliable device sync: on the axon remote platform block_until_ready
+    can return before the first post-warmup execution finishes; a scalar
+    host transfer of (a slice of) the last output buffer cannot — programs
+    execute in order, so this fences everything queued before it."""
+    import numpy as _np
+
+    leaf = jax.tree.leaves(tree)[-1]
+    _np.asarray(jax.numpy.ravel(leaf)[0])
+    return tree
+
+
+
+
 def bench_sd_pullback():
     """Optional (--sd): SD 2.1-base latent pullback (BASELINE config 3 shape)
     with random-init weights — mid-tap top-1 PC, r=8, 5 iterations."""
@@ -65,10 +79,10 @@ def bench_sd_pullback():
             fn_vjp=lambda q: e_vjp(p, q, c),
         )
     )
-    jax.block_until_ready(pull(params, z, ctx, jax.random.key(3)))
+    _sync(pull(params, z, ctx, jax.random.key(3)))
     t0 = time.perf_counter()
     res = pull(params, z, ctx, jax.random.key(3))
-    jax.block_until_ready(res)
+    _sync(res)
     sec = time.perf_counter() - t0
 
     # north-star workload: + x-space-guidance edit (16 micro-steps, 2·B
@@ -90,9 +104,9 @@ def bench_sd_pullback():
 
     vk = res.vT[0].reshape(1, 64, 64, 4)
     edit_jit = jax.jit(edit)
-    edit_jit(params, ctx, z, vk).block_until_ready()
+    _sync(edit_jit(params, ctx, z, vk))
     t0 = time.perf_counter()
-    edit_jit(params, ctx, z, vk).block_until_ready()
+    _sync(edit_jit(params, ctx, z, vk))
     edit_sec = time.perf_counter() - t0
 
     e2e = sec + edit_sec
@@ -151,10 +165,10 @@ def bench_sdxl_pullback():
             fn_vjp=lambda q: e_vjp(p, q, c),
         )
     )
-    jax.block_until_ready(pull(params, z, ctx, jax.random.key(4)))
+    _sync(pull(params, z, ctx, jax.random.key(4)))
     t0 = time.perf_counter()
     res = pull(params, z, ctx, jax.random.key(4))
-    jax.block_until_ready(res)
+    _sync(res)
     sec = time.perf_counter() - t0
     print(json.dumps({
         "metric": "sdxl1024_mid_tap_pullback",
@@ -203,9 +217,9 @@ def bench_mesh_pullback():
         )
         run = lambda: pull(params, x, jax.random.key(2))
 
-    jax.block_until_ready(run())  # compile
+    _sync(run())  # compile
     t0 = time.perf_counter()
-    jax.block_until_ready(run())
+    _sync(run())
     sec = time.perf_counter() - t0
     print(json.dumps({
         "metric": f"celebahq256_pullback_probe_sharded_{n_dev}dev",
@@ -241,9 +255,9 @@ def bench_bf16_pullback():
             z, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS, atol=0.0,
         )
     )
-    jax.block_until_ready(pull(params, x, jax.random.key(2)))
+    _sync(pull(params, x, jax.random.key(2)))
     t0 = time.perf_counter()
-    jax.block_until_ready(pull(params, x, jax.random.key(2)))
+    _sync(pull(params, x, jax.random.key(2)))
     sec = time.perf_counter() - t0
     print(json.dumps({
         "metric": "celebahq256_pullback_bf16",
@@ -277,9 +291,9 @@ def main():
     # --- 1. DDIM steps/sec (100-step forward scan, batch 1) ----------------
     grid100 = ddim_timestep_grid(100)
     fwd = jax.jit(lambda p, z: ddim_forward(eps_of(p), z, sched, grid100))
-    fwd(params, x).block_until_ready()  # compile
+    _sync(fwd(params, x))  # compile
     t0 = time.perf_counter()
-    fwd(params, x).block_until_ready()
+    _sync(fwd(params, x))
     ddim_sec = time.perf_counter() - t0
     ddim_steps_per_sec = grid100.num_steps / ddim_sec
 
@@ -288,9 +302,9 @@ def main():
     model_bf16 = UNet2D(cfg_bf16)
     eps_bf16 = lambda p: (lambda z, t: model_bf16.apply(p, z, t).astype(jnp.float32))
     fwd16 = jax.jit(lambda p, z: ddim_forward(eps_bf16(p), z, sched, grid100))
-    fwd16(params, x).block_until_ready()
+    _sync(fwd16(params, x))
     t0 = time.perf_counter()
-    fwd16(params, x).block_until_ready()
+    _sync(fwd16(params, x))
     ddim_bf16_steps_per_sec = grid100.num_steps / (time.perf_counter() - t0)
 
     # --- 1c. DDIM steps/sec with DeepCache encoder reuse (interval 3) ------
@@ -298,9 +312,9 @@ def main():
 
     fwd_dc = jax.jit(lambda p, z: ddim_forward_deepcache(
         model, p, z, sched, grid100, interval=3))
-    fwd_dc(params, x).block_until_ready()
+    _sync(fwd_dc(params, x))
     t0 = time.perf_counter()
-    fwd_dc(params, x).block_until_ready()
+    _sync(fwd_dc(params, x))
     ddim_dc_steps_per_sec = grid100.num_steps / (time.perf_counter() - t0)
 
     # --- 2. pullback: top-1 PC via 5 power iterations (r=8 probes) ---------
@@ -311,10 +325,10 @@ def main():
             z, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS, atol=0.0,
         )
     )
-    jax.block_until_ready(pull(params, x, jax.random.key(2)))  # compile
+    _sync(pull(params, x, jax.random.key(2)))  # compile
     t0 = time.perf_counter()
     res = pull(params, x, jax.random.key(2))
-    jax.block_until_ready(res)
+    _sync(res)
     pull_sec = time.perf_counter() - t0
     # each iteration runs RANK jvp + RANK vjp probe passes, plus RANK final jvps
     jvp_evals_per_sec = (ITERS * 2 * RANK + RANK) / pull_sec
@@ -334,9 +348,9 @@ def main():
         return ddim_forward(eps_fn, z_edit, sched, grid20, start_idx=edit_t_idx)
 
     edit_jit = jax.jit(edit)
-    edit_jit(params, x, vk).block_until_ready()  # compile
+    _sync(edit_jit(params, x, vk))  # compile
     t0 = time.perf_counter()
-    edit_jit(params, x, vk).block_until_ready()
+    _sync(edit_jit(params, x, vk))
     edit_sec = time.perf_counter() - t0
 
     e2e = pull_sec + edit_sec
