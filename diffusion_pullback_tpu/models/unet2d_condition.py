@@ -463,3 +463,27 @@ class UNet2DCondition(nn.Module):
             x, t, encoder_hidden_states, tap, deterministic
         )
         return self.decode_with_state(h + dh, state, tap, deterministic)
+
+    def shallow_encode(self, x, t, encoder_hidden_states, deterministic=True,
+                       added_cond=None):
+        """Cheap shallow pass: time embedding + conv_in + the first down
+        block's per-layer outputs — exactly the skips the LAST up block
+        consumes. Powers encoder-reuse (DeepCache-style) sampling on the SD
+        family (samplers/deepcache.py): deep features are cached across
+        steps, only this slice and the last up block recompute per step."""
+        ctx = encoder_hidden_states
+        if ctx.shape[0] == 1 and x.shape[0] > 1:
+            ctx = jnp.broadcast_to(ctx, (x.shape[0],) + ctx.shape[1:])
+        emb = self._embed(t, x.shape[0], added_cond)
+        h = self.conv_in(x)
+        block = self.down_blocks[0]
+        stop = ("attn" if isinstance(block, CrossAttnDownBlock) else "res",
+                self.config.layers_per_block - 1)
+        if isinstance(block, CrossAttnDownBlock):
+            out, res = block(h, emb, ctx, deterministic, stop_at=stop)
+        else:
+            # PlainDownBlock has no stop_at; its per-layer outputs are res
+            out, res = block(h, emb, deterministic)
+            res, out = tuple(res[:self.config.layers_per_block - 1]), \
+                res[self.config.layers_per_block - 1]
+        return CondTapState(emb, (h,) + tuple(res) + (out,), ctx)

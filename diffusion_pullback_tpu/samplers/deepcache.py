@@ -81,3 +81,77 @@ def ddim_forward_deepcache(
         body, (x, jnp.zeros(h_shape.shape, h_shape.dtype)), (ts, tn, idx)
     )
     return x_final
+
+
+def ddim_forward_deepcache_cond(
+    model,
+    params,
+    x: jax.Array,
+    context: jax.Array,
+    schedule: DiffusionSchedule,
+    grid: TimestepGrid,
+    interval: int = 3,
+    start_idx: int = 0,
+    end_idx: Optional[int] = None,
+    added_cond=None,
+) -> jax.Array:
+    """Conditioned (SD-family) flavour of `ddim_forward_deepcache`: the
+    cached deep path includes the cross-attention blocks; the per-step
+    shallow slice is UNet2DCondition.shallow_encode (conv_in + first down
+    block) and the reuse step runs only the last up block + head.
+    interval=1 ≡ the exact full model."""
+    from ..models.unet2d_condition import CondTapState, UNet2DCondition
+
+    n_up = len(model.config.up_block_types)
+    if n_up < 2:
+        raise ValueError("deepcache needs at least 2 up blocks")
+    tap = TapPoint("up", n_up - 2)
+
+    end = grid.num_steps if end_idx is None else end_idx
+    ts = grid.timesteps[start_idx:end]
+    tn = grid.timesteps_next[start_idx:end]
+    idx = jnp.arange(ts.shape[0])
+
+    kw = {} if added_cond is None else {"added_cond": added_cond}
+    h_shape = jax.eval_shape(
+        lambda z, t: model.apply(
+            params, z, t, context, tap, method=UNet2DCondition.encode, **kw
+        ),
+        x, jnp.float32(0.0),
+    )
+
+    def body(carry, inp):
+        xt, h_cache = carry
+        t, t_next, i = inp
+
+        def full(_):
+            h, state = model.apply(
+                params, xt, t, context, tap,
+                method=UNet2DCondition.encode_with_state, **kw
+            )
+            eps = model.apply(
+                params, h, state, tap, method=UNet2DCondition.decode_with_state
+            )
+            return eps, h
+
+        def reuse(_):
+            shallow = model.apply(
+                params, xt, t, context,
+                method=UNet2DCondition.shallow_encode, **kw
+            )
+            eps = model.apply(
+                params, h_cache, shallow, tap,
+                method=UNet2DCondition.decode_with_state
+            )
+            return eps, h_cache
+
+        eps, h_new = jax.lax.cond(i % interval == 0, full, reuse, None)
+        out = ddim_step(
+            eps, xt, alpha_bar(schedule, t), alpha_bar(schedule, t_next)
+        )
+        return (out.prev_sample, h_new), None
+
+    (x_final, _), _ = jax.lax.scan(
+        body, (x, jnp.zeros(h_shape.shape, h_shape.dtype)), (ts, tn, idx)
+    )
+    return x_final

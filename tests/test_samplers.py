@@ -144,3 +144,41 @@ def test_deepcache_reuse_runs_and_approximates():
     # different from exact (reuse actually happened) but same scale
     d = float(jnp.abs(out - ref).max())
     assert 0 < d < float(jnp.abs(ref).max())
+
+
+def test_deepcache_cond_interval1_exact_and_interval3_runs():
+    """SD-family encoder-reuse sampler: interval=1 matches the exact full
+    forward; interval=3 runs and stays close (deep features drift slowly)."""
+    import dataclasses
+
+    from diffusion_pullback_tpu.models import UNet2DCondition, sd_tiny_unet
+    from diffusion_pullback_tpu.samplers.deepcache import (
+        ddim_forward_deepcache_cond,
+    )
+    from diffusion_pullback_tpu.samplers.ddim_loop import ddim_forward
+    from diffusion_pullback_tpu.ops.schedule import (
+        DiffusionSchedule,
+        ddim_timestep_grid,
+    )
+
+    cfg = dataclasses.replace(sd_tiny_unet(8), cross_attention_dim=16)
+    model = UNet2DCondition(cfg)
+    z = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.key(1), (1, 5, 16))
+    params = model.init(jax.random.key(2), z, jnp.float32(0.0), ctx)
+    sched = DiffusionSchedule.scaled_linear()
+    grid = ddim_timestep_grid(8)
+
+    exact = ddim_forward(
+        lambda q, t: model.apply(params, q, t, ctx), z, sched, grid
+    )
+    dc1 = ddim_forward_deepcache_cond(
+        model, params, z, ctx, sched, grid, interval=1
+    )
+    np.testing.assert_allclose(np.asarray(dc1), np.asarray(exact),
+                               rtol=1e-4, atol=1e-5)
+    dc3 = ddim_forward_deepcache_cond(
+        model, params, z, ctx, sched, grid, interval=3
+    )
+    assert dc3.shape == exact.shape
+    assert np.isfinite(np.asarray(dc3)).all()
