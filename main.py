@@ -396,7 +396,11 @@ def build_sdxl(args, mesh=None):
         pullback_attn_impl=args.pullback_attn_impl or (
             "flash" if jax.default_backend() != "cpu" else ""),
         pullback_guidance_scale=args.pullback_guidance_scale,
-        pullback_chunk_size=args.pullback_chunk_size or 1,
+        # r<=2 probes fit one chip un-chunked (measured: 12.35 s vs
+        # 15.85 s chunked for the 50-iter 1024px mid pullback); larger
+        # probe blocks serialize through lax.map to bound HBM
+        pullback_chunk_size=args.pullback_chunk_size
+        or (None if (args.pca_rank or 2) <= 2 else 1),
         pullback_remat=True,
         decode_chunk=1,
         result_folder=args.result_folder,
