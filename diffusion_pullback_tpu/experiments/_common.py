@@ -1,0 +1,64 @@
+"""Shared machinery for the experiment drivers.
+
+Both drivers (EditUncondDiffusion, EditStableDiffusion) need the same
+jit-cache plumbing, mesh gating, and tap construction; keeping one copy
+here prevents the two from drifting (they did once: the ADM
+layers-per-block guard had to be fixed in two places).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from ..models.unet2d import TapPoint
+
+
+class DriverCommonMixin:
+    """Requires the host class to provide ``self._jit_cache`` (dict),
+    ``self.cfg`` (experiment config with mesh/pullback knobs) and
+    ``self._arch_config`` (the architecture config of the differentiated
+    model)."""
+
+    def _jitted(self, name, fn):
+        return self._cached(name, lambda: jax.jit(fn))
+
+    def _cached(self, name, builder):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = builder()
+        return self._jit_cache[name]
+
+    def _mesh_probe_size(self, pca_rank: int) -> int:
+        """Probe-axis size when the configured mesh can shard this pullback
+        (0 = run single-device)."""
+        mesh = self.cfg.mesh
+        if mesh is None or "probe" not in mesh.axis_names:
+            return 0
+        n = mesh.shape["probe"]
+        if n <= 1 or pca_rank % n != 0 or self.cfg.pullback_chunk_size:
+            return 0
+        return n
+
+    def _make_tap(self, op, block_idx, after_res=False, after_sa=False):
+        """Intra-block tap modifiers (reference after_res/after_sa flags,
+        down_block_forward utils.py:638-719: the tap moves after the block's
+        LAST resnet / transformer instead of the block output)."""
+        if after_res or after_sa:
+            if not hasattr(self._arch_config, "layers_per_block"):
+                raise ValueError(
+                    "intra-block taps (after_res/after_sa) are not "
+                    "supported for this model family")
+            layer = self._arch_config.layers_per_block - 1
+            inner = ("res", layer) if after_res else ("attn", layer)
+            return TapPoint(op, block_idx, inner)
+        return TapPoint(op, block_idx)
+
+    def _harvest_dp(self, n_items: int, log_name: str) -> int:
+        """dp-axis size when the configured mesh can shard an n-item sweep
+        (0 = run sequentially on one device)."""
+        mesh = self.cfg.mesh
+        if mesh is None or "dp" not in mesh.axis_names or mesh.shape["dp"] <= 1:
+            return 0
+        if n_items % mesh.shape["dp"] != 0:
+            self.log.log(log_name, num_t=n_items, dp=mesh.shape["dp"])
+            return 0
+        return mesh.shape["dp"]

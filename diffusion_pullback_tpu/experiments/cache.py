@@ -81,29 +81,39 @@ class BasisCache:
         )
 
     def path(self, name: str) -> str:
-        """The basis file for `name`: whichever format exists, else the
-        preferred one for new writes."""
+        """The basis file for `name`: whichever format exists AND is
+        readable here, else the preferred one for new writes."""
         dpb = os.path.join(self.root, name + ".dpb")
         npz = os.path.join(self.root, name + ".npz")
-        if os.path.exists(dpb):
+        if os.path.exists(dpb) and self._native:
             return dpb
         if os.path.exists(npz):
             return npz
+        if os.path.exists(dpb):
+            return dpb
         return dpb if self._native else npz
 
     def load(self, name: str) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-        p = self.path(name)
-        if not os.path.exists(p):
-            return None
-        try:
-            if p.endswith(".dpb"):
-                from ..utils.native import basis_read
+        # try both formats: a .dpb written on a native-enabled machine must
+        # not become a permanent miss (or shadow an .npz) on a host without
+        # the native lib
+        for ext in (".dpb", ".npz"):
+            p = os.path.join(self.root, name + ext)
+            if not os.path.exists(p):
+                continue
+            try:
+                if ext == ".dpb":
+                    from ..utils.native import basis_read
 
-                return basis_read(p)
-            z = np.load(p)
-            return tuple(_from_npz(z[k]) for k in ("u", "s", "vT"))
-        except Exception:
-            return None
+                    out = basis_read(p)
+                    if out is not None:
+                        return out
+                    continue
+                z = np.load(p)
+                return tuple(_from_npz(z[k]) for k in ("u", "s", "vT"))
+            except Exception:
+                continue
+        return None
 
     def save(self, name: str, u, s, vT) -> str:
         # widen to f32: the stores hold bfloat16 poorly (npz as raw void,
@@ -116,6 +126,11 @@ class BasisCache:
             if basis_write(p, u, s, vT):
                 return p
         p = os.path.join(self.root, name + ".npz")
+        # a stale .dpb this host cannot read would shadow the fresh .npz in
+        # path(); drop it
+        dpb = os.path.join(self.root, name + ".dpb")
+        if os.path.exists(dpb):
+            os.unlink(dpb)
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".npz.tmp")
         try:
             # pass the file object: np.savez appends '.npz' to bare paths,

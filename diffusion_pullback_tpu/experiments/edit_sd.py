@@ -35,6 +35,7 @@ from ..samplers.ddim_loop import ddim_forward, ddim_invert, make_ddim_step_fn
 from ..samplers.guidance import x_space_guidance_scan
 from ..utils.images import save_image_grid
 from ..utils.logging import JSONLLogger
+from ._common import DriverCommonMixin
 from .cache import BasisCache, basis_name
 
 
@@ -83,7 +84,11 @@ class SDExperimentConfig:
     vis_num_pc: int = 2
 
 
-class EditStableDiffusion:
+class EditStableDiffusion(DriverCommonMixin):
+    @property
+    def _arch_config(self):
+        return self.unet.config
+
     def __init__(
         self,
         unet: UNet2DCondition,
@@ -240,25 +245,6 @@ class EditStableDiffusion:
 
         return fn
 
-    def _jitted(self, name, fn):
-        return self._cached(name, lambda: jax.jit(fn))
-
-    def _cached(self, name, builder):
-        if name not in self._jit_cache:
-            self._jit_cache[name] = builder()
-        return self._jit_cache[name]
-
-    def _mesh_probe_size(self, pca_rank: int) -> int:
-        """Probe-axis size when the configured mesh can shard this pullback
-        (0 = run single-device)."""
-        mesh = self.cfg.mesh
-        if mesh is None or "probe" not in mesh.axis_names:
-            return 0
-        n = mesh.shape["probe"]
-        if n <= 1 or pca_rank % n != 0 or self.cfg.pullback_chunk_size:
-            return 0
-        return n
-
     # ---- pipelines --------------------------------------------------------
 
     def encode_image(self, idx: int, sample_key=None) -> jax.Array:
@@ -359,6 +345,15 @@ class EditStableDiffusion:
             save_image_grid(x0, save_as)
         return x0
 
+    def _basis_name_extras(self, tap: TapPoint) -> str:
+        """Cache-key qualifiers beyond basis_name: intra-block tap position
+        and the CFG-inside-JVP scale — both change the differentiated map,
+        so bases computed under them must not shadow plain ones."""
+        s = f"-after_{tap.inner[0]}{tap.inner[1]}" if tap.inner else ""
+        if self.cfg.pullback_guidance_scale > 0:
+            s += f"-cfg{self.cfg.pullback_guidance_scale}"
+        return s
+
     def _cfg_encoder(self, enc):
         """Wrap a tap encoder so the differentiated map is the CFG
         extrapolation h_edit + s·(h_edit − h_neg), evaluated as one fused
@@ -441,16 +436,6 @@ class EditStableDiffusion:
         )
         return res
 
-    def _make_tap(self, op, block_idx, after_res=False, after_sa=False):
-        """Intra-block tap modifiers (reference after_res/after_sa,
-        down_block_forward utils.py:638-719: tap after the block's last
-        resnet / transformer instead of the block output)."""
-        if after_res or after_sa:
-            layer = self.unet.config.layers_per_block - 1
-            inner = ("res", layer) if after_res else ("attn", layer)
-            return TapPoint(op, block_idx, inner)
-        return TapPoint(op, block_idx)
-
     def run_edit_local_encoder_pullback_zt(
         self,
         idx: int,
@@ -482,7 +467,7 @@ class EditStableDiffusion:
         name = basis_name(
             cfg.dataset_name, idx, cfg.edit_t, op, block_idx, cfg.seed,
             edit_prompt=cfg.edit_prompt,
-        ) + (f"-after_{tap.inner[0]}{tap.inner[1]}" if tap.inner else "")
+        ) + self._basis_name_extras(tap)
         cached = self.cache.load(name)
         if cached is not None:
             u, s, vT = map(jnp.asarray, cached)
@@ -712,21 +697,23 @@ class EditStableDiffusion:
         # decoder right-singular vectors live in h-space → (dim_h, k)
         tag = "local_dec_x0" if x0_pullback else "local_dec"
         return self._edit_with_global_h_basis(
-            idx, res.vT.T, op, block_idx, vis_num, vis_num_pc, tag
+            idx, res.vT.T, op, block_idx, vis_num, vis_num_pc, tag, zt=zt
         )
 
     def _edit_with_global_h_basis(self, idx, u_mean, op, block_idx,
-                                  vis_num, vis_num_pc, tag):
+                                  vis_num, vis_num_pc, tag, zt=None):
         """Map h-space directions to latent space at the target sample via
         Jᵀ of the edit-prompt-conditioned encoder (the reference's
         inverse-Jacobian trick, utils.py:1117-1160) and run the guidance
-        edit."""
+        edit. ``zt`` reuses a caller's already-inverted latent (the decoder
+        pullback computes it anyway — skipping ~inv_steps U-Net evals)."""
         from ..geometry.pullback import pullback_covector
 
         cfg = self.cfg
         tap = TapPoint(op, block_idx)
-        zT = self.run_DDIMinversion(idx)
-        zt = self.DDIMforwardsteps(zT, 0, self.edit_t_idx)
+        if zt is None:
+            zT = self.run_DDIMinversion(idx)
+            zt = self.DDIMforwardsteps(zT, 0, self.edit_t_idx)
         t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
         h_shape = jax.eval_shape(
             lambda z: self._tap_encode(
@@ -904,7 +891,7 @@ class EditStableDiffusion:
             int(jnp.argmin(jnp.abs(self.fwd_grid.timesteps - et * 1000.0)))
             for et in t_grid
         )
-        suffix = f"-after_{tap.inner[0]}{tap.inner[1]}" if tap.inner else ""
+        suffix = self._basis_name_extras(tap)
         names = [
             basis_name(cfg.dataset_name, idx, et, op, block_idx, cfg.seed,
                        edit_prompt=cfg.edit_prompt) + suffix
@@ -948,17 +935,22 @@ class EditStableDiffusion:
         # sweep-axis data parallelism: a 'dp' mesh axis dividing the t-grid
         # shards the per-t pullbacks across devices (vmap + constraint)
         mesh = self.cfg.mesh
-        dp = 0
-        if (mesh is not None and "dp" in mesh.axis_names
-                and mesh.shape["dp"] > 1):
-            if len(t_grid) % mesh.shape["dp"] == 0:
-                dp = mesh.shape["dp"]
-                sequential = False
-            else:
-                self.log.log("sd_harvest_dp_skip", num_t=len(t_grid),
-                             dp=mesh.shape["dp"])
+        dp = self._harvest_dp(len(t_grid), "sd_harvest_dp_skip")
+        if dp:
+            sequential = False
 
         zT = self.run_DDIMinversion(idx)
+
+        # the fused sweep must differentiate the SAME encoder
+        # compute_local_basis does (fused-pair attention, CFG wrap) so the
+        # stored bases are loop_impl-independent
+        enc, enc_vjp, impl = self._pullback_tap_encoders(tap)
+        if cfg.pullback_guidance_scale > 0:
+            enc = self._cfg_encoder(enc)
+            enc_vjp = self._cfg_encoder(enc_vjp) if enc_vjp is not None else None
+            pull_emb = (self.edit_prompt_emb, self.neg_prompt_emb)
+        else:
+            pull_emb = self.edit_prompt_emb
 
         def sweep(p, fe, ne, ee, z, key):
             eps = self.eps_with(p, fe, ne)
@@ -981,13 +973,17 @@ class EditStableDiffusion:
             def pull_one(args):
                 zt, tt, kk = args
                 return local_pullback(
-                    lambda q: self._tap_encode(p, q, tt, ee, tap),
+                    lambda q: enc(p, q, tt, ee),
                     zt, kk, pca_rank=pca_rank,
                     min_iter=self.cfg.pullback_min_iter,
                     max_iter=self.cfg.pullback_max_iter,
                     atol=self.cfg.pullback_atol,
                     chunk_size=self.cfg.pullback_chunk_size,
                     remat=self.cfg.pullback_remat,
+                    fn_vjp=(
+                        (lambda q: enc_vjp(p, q, tt, ee))
+                        if enc_vjp is not None else None
+                    ),
                 )
 
             if sequential:
@@ -995,11 +991,12 @@ class EditStableDiffusion:
             return jax.vmap(lambda a, b, c: pull_one((a, b, c)))(zts, ts, keys)
 
         run = self._jitted(
-            f"sd_harvest_{tap}_{pca_rank}_{t_indices}_{sequential}_dp{dp}", sweep
+            f"sd_harvest_{tap}_{pca_rank}_{t_indices}_{sequential}"
+            f"_dp{dp}_{impl}{suffix}", sweep
         )
         t0 = time.perf_counter()
         res = run(self.unet_params, self.for_prompt_emb, self.neg_prompt_emb,
-                  self.edit_prompt_emb, zT, jax.random.key(cfg.seed))
+                  pull_emb, zT, jax.random.key(cfg.seed))
         jax.block_until_ready(res)
         self.log.log(
             "sd_tangent_harvest_batched",

@@ -35,6 +35,7 @@ from ..samplers.ddim_loop import ddim_forward, ddim_invert
 from ..samplers.guidance import x_space_guidance_scan
 from ..utils.images import save_image_grid
 from ..utils.logging import JSONLLogger
+from ._common import DriverCommonMixin
 from .cache import BasisCache, basis_name
 
 
@@ -79,8 +80,12 @@ class UncondExperimentConfig:
     vis_num_pc: int = 2
 
 
-class EditUncondDiffusion:
+class EditUncondDiffusion(DriverCommonMixin):
     """Experiment driver bound to one (model, params, schedule) triple."""
+
+    @property
+    def _arch_config(self):
+        return self.model.config
 
     def __init__(
         self,
@@ -144,25 +149,6 @@ class EditUncondDiffusion:
 
     def eps_fn(self, z, t):
         return self._eps_with(self.params)(z, t)
-
-    def _jitted(self, name, fn):
-        return self._cached(name, lambda: jax.jit(fn))
-
-    def _cached(self, name, builder):
-        if name not in self._jit_cache:
-            self._jit_cache[name] = builder()
-        return self._jit_cache[name]
-
-    def _mesh_probe_size(self, pca_rank: int) -> int:
-        """Probe-axis size when the configured mesh can shard this pullback
-        (0 = run single-device)."""
-        mesh = self.cfg.mesh
-        if mesh is None or "probe" not in mesh.axis_names:
-            return 0
-        n = mesh.shape["probe"]
-        if n <= 1 or pca_rank % n != 0 or self.cfg.pullback_chunk_size:
-            return 0
-        return n
 
     def run_ddim_inversion(self, idx: int) -> jax.Array:
         """x0 → xT (reference run_DDIMinversion, edit.py:613-678)."""
@@ -282,16 +268,6 @@ class EditUncondDiffusion:
         return res
 
     # ---- headline experiment ---------------------------------------------
-
-    def _make_tap(self, op, block_idx, after_res=False, after_sa=False):
-        """Intra-block tap modifiers (reference after_res/after_sa flags,
-        down_block_forward utils.py:638-719: the tap moves after the block's
-        LAST resnet / self-attention instead of the block output)."""
-        if after_res or after_sa:
-            layer = self.model.config.layers_per_block - 1
-            inner = ("res", layer) if after_res else ("attn", layer)
-            return TapPoint(op, block_idx, inner)
-        return TapPoint(op, block_idx)
 
     def run_edit_local_encoder_pullback_xt(
         self,
@@ -413,6 +389,10 @@ class EditUncondDiffusion:
             u, s, vT = res.u, res.s, res.vT
             self.cache.save(name, u, s, vT)
 
+        if vis_num_pc > u.shape[1]:
+            self.log.log("vis_num_pc_clamped", requested=vis_num_pc,
+                         available=int(u.shape[1]))
+            vis_num_pc = int(u.shape[1])
         h_shape = jax.eval_shape(
             lambda z: self.model.apply(self.params, z, t_edit, tap,
                                        method=type(self.model).encode), xt
@@ -429,7 +409,7 @@ class EditUncondDiffusion:
                 names.append(
                     f"Edit_h_space-{cfg.dataset_name}_{idx}"
                     f"-edit_{cfg.edit_t}T-{op}-block_{block_idx}"
-                    f"-pc_{pc:03d}_{stag}"
+                    f"-scale_{scale}-pc_{pc:03d}_{stag}"
                 )
         todo = [i for i, n in enumerate(names) if not os.path.exists(
             os.path.join(cfg.result_folder, n + ".png"))]
@@ -466,7 +446,7 @@ class EditUncondDiffusion:
             )
 
         run_all = self._jitted(
-            f"h_edit_batch_{tap}_{len(todo)}_{stride}",
+            f"h_edit_batch_{tap}_{len(todo)}_{stride}_{scale}",
             lambda p, z_start, ds, keys: jax.vmap(
                 lambda dh, k: edit_one(p, z_start, dh, k)
             )(ds, keys),
@@ -756,7 +736,7 @@ class EditUncondDiffusion:
         # decoder right-singular vectors live in h-space → (dim_h, k)
         tag = "local_dec_x0" if x0_pullback else "local_dec"
         return self._edit_with_global_h_basis(
-            idx, res.vT.T, op, block_idx, vis_num, vis_num_pc, tag
+            idx, res.vT.T, op, block_idx, vis_num, vis_num_pc, tag, xt=xt
         )
 
     def _harvest_bases(self, sample_indices, op, block_idx, pca_rank):
@@ -781,15 +761,17 @@ class EditUncondDiffusion:
         return out
 
     def _edit_with_global_h_basis(self, idx, u_mean, op, block_idx,
-                                  vis_num, vis_num_pc, tag):
+                                  vis_num, vis_num_pc, tag, xt=None):
         """Map global h-directions to x at the target sample via Jᵀ and run
-        the guidance edit."""
+        the guidance edit. ``xt`` reuses a caller's already-inverted latent
+        when available."""
         from ..geometry.pullback import pullback_covector
 
         cfg = self.cfg
         tap = TapPoint(op, block_idx)
-        xT = self.run_ddim_inversion(idx)
-        xt = self.forward_to_edit_t(xT)
+        if xt is None:
+            xT = self.run_ddim_inversion(idx)
+            xt = self.forward_to_edit_t(xT)
         t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
         h_shape = jax.eval_shape(
             lambda z: self.model.apply(self.params, z, t_edit, tap,
@@ -960,15 +942,9 @@ class EditUncondDiffusion:
         # a 'dp' axis dividing the t-grid, the per-t pullbacks vmap with the
         # t-axis sharded across devices instead of lax.map'ing sequentially
         mesh = self.cfg.mesh
-        dp = 0
-        if (mesh is not None and "dp" in mesh.axis_names
-                and mesh.shape["dp"] > 1):
-            if len(t_grid) % mesh.shape["dp"] == 0:
-                dp = mesh.shape["dp"]
-                sequential = False
-            else:
-                self.log.log("harvest_dp_skip", num_t=len(t_grid),
-                             dp=mesh.shape["dp"])
+        dp = self._harvest_dp(len(t_grid), "harvest_dp_skip")
+        if dp:
+            sequential = False
 
         xT = self.run_ddim_inversion(idx)
 

@@ -179,6 +179,11 @@ class UNetADM(nn.Module):
         attn_at = set(cfg.attention_resolutions)
         if tap is not None:
             tap = TapPoint(*tap)
+            if tap.inner is not None:
+                raise ValueError(
+                    "UNetADM does not support intra-block taps (the "
+                    "reference's after_res/after_sa exist only on the SD "
+                    "diffusers blocks, utils.py:638-719)")
 
         resblock = lambda ch, updown, name: ADMResBlock(
             ch, use_scale_shift_norm=cfg.use_scale_shift_norm,

@@ -101,3 +101,15 @@ def test_cfg_pullback_runs_and_differs(tmp_path):
     rc = dc.compute_local_basis(zt, t, TapPoint("mid", 0), 4)
     assert rc.s.shape == r0.s.shape
     assert not np.allclose(np.asarray(rc.s), np.asarray(r0.s))
+
+
+def test_cfg_scale_qualifies_basis_cache_name(tmp_path):
+    """Review-finding regression: bases computed under CFG-inside-JVP must
+    not shadow (or be shadowed by) plain bases in the on-disk cache."""
+    from diffusion_pullback_tpu.models.unet2d import TapPoint
+
+    d0 = _driver(tmp_path, "p0")
+    dc = _driver(tmp_path, "pc", pullback_guidance_scale=2.5)
+    tap = TapPoint("mid", 0)
+    assert d0._basis_name_extras(tap) == ""
+    assert "cfg2.5" in dc._basis_name_extras(tap)

@@ -120,3 +120,18 @@ def test_xl_penultimate_differs_from_final(xl_driver):
     )
     assert final.shape == penult.shape
     assert not np.allclose(np.asarray(final), np.asarray(penult))
+
+
+def test_xl_decoder_pullback_edit(xl_driver):
+    """Review-finding regression: the SDXL driver inherits the SD decoder
+    pullback; its _tap_encode_with_state override must thread the pooled
+    addition embeddings (a missing override crashed with 'added_cond'
+    ValueError)."""
+    names = xl_driver.run_edit_local_decoder_pullback_zt(
+        idx=0, op="mid", block_idx=0, pca_rank=2, vis_num=2, vis_num_pc=1,
+    )
+    assert len(names) == 2
+    for n in names:
+        assert os.path.exists(
+            os.path.join(xl_driver.cfg.result_folder, n + ".png")
+        ), n
