@@ -71,6 +71,12 @@ class SDExperimentConfig:
     # >0 differentiates h = h_edit + s·(h_edit − h_neg) as one fused 2·B
     # batch; 0 (default) differentiates the edit-prompt encoder alone
     pullback_guidance_scale: float = 0.0
+    # post-edit latent regularizers (working specs of the reference's
+    # undefined hooks — see samplers/regularizers.py)
+    use_dynamic_thresholding: bool = False
+    dynamic_thresholding_q: float = 0.8
+    use_preserve_contrast: bool = False
+    use_preserve_norm: bool = False
     # device mesh (jax.sharding.Mesh) — 'probe' axis shards the power
     # iteration, 'dp' shards sweep axes; None = single device
     mesh: Optional[object] = None
@@ -589,6 +595,17 @@ class EditStableDiffusion(DriverCommonMixin):
                 scale=cfg.x_space_guidance_scale,
             )
             sel = traj[::stride, 0]
+            # post-edit regularizers (uncond tail applies the same set)
+            from ..samplers.regularizers import (
+                dynamic_thresholding, preserve_contrast, preserve_norm,
+            )
+
+            if cfg.use_dynamic_thresholding:
+                sel = dynamic_thresholding(sel, cfg.dynamic_thresholding_q)
+            if cfg.use_preserve_contrast:
+                sel = preserve_contrast(sel, z_start)
+            if cfg.use_preserve_norm:
+                sel = preserve_norm(sel, z_start)
             return ddim_forward(
                 for_eps, sel, self.schedule, self.fwd_grid,
                 start_idx=self.edit_t_idx,

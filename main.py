@@ -246,6 +246,10 @@ def build_sd(args, mesh=None):
         pullback_attn_impl=args.pullback_attn_impl or (
             "flash" if jax.default_backend() != "cpu" else ""),
         pullback_guidance_scale=args.pullback_guidance_scale,
+        use_dynamic_thresholding=args.use_dynamic_thresholding,
+        dynamic_thresholding_q=args.dynamic_thresholding_q,
+        use_preserve_contrast=args.use_preserve_contrast,
+        use_preserve_norm=args.use_preserve_norm,
         pullback_chunk_size=args.pullback_chunk_size or None,
         result_folder=args.result_folder,
         obs_folder=args.obs_folder,
@@ -396,6 +400,10 @@ def build_sdxl(args, mesh=None):
         pullback_attn_impl=args.pullback_attn_impl or (
             "flash" if jax.default_backend() != "cpu" else ""),
         pullback_guidance_scale=args.pullback_guidance_scale,
+        use_dynamic_thresholding=args.use_dynamic_thresholding,
+        dynamic_thresholding_q=args.dynamic_thresholding_q,
+        use_preserve_contrast=args.use_preserve_contrast,
+        use_preserve_norm=args.use_preserve_norm,
         # r<=2 probes fit one chip un-chunked (measured: 12.35 s vs
         # 15.85 s chunked for the 50-iter 1024px mid pullback); larger
         # probe blocks serialize through lax.map to bound HBM

@@ -86,3 +86,53 @@ def test_edit_tail_applies_regularizers(tmp_path):
     names = drv.run_edit_local_encoder_pullback_xt(idx=0)
     for n in names:
         assert os.path.exists(os.path.join(cfg.result_folder, n + ".png"))
+
+
+def test_sd_edit_tail_applies_regularizers(tmp_path):
+    """SD tail honors the same regularizer flags (API symmetry)."""
+    import dataclasses
+    import os
+
+    from diffusion_pullback_tpu.experiments import (
+        EditStableDiffusion,
+        SDExperimentConfig,
+    )
+    from diffusion_pullback_tpu.models import (
+        AutoencoderKL,
+        CLIPTextModel,
+        UNet2DCondition,
+        clip_text_tiny,
+        sd_tiny_unet,
+        vae_tiny,
+    )
+    from diffusion_pullback_tpu.ops import DiffusionSchedule
+    from diffusion_pullback_tpu.utils.datasets import NoiseDataset
+    from diffusion_pullback_tpu.utils.logging import JSONLLogger
+
+    ucfg = dataclasses.replace(sd_tiny_unet(8), cross_attention_dim=16)
+    tcfg = dataclasses.replace(clip_text_tiny(), hidden_size=16)
+    unet = UNet2DCondition(ucfg)
+    vae = AutoencoderKL(vae_tiny(16))
+    text = CLIPTextModel(tcfg)
+    up = unet.init(jax.random.key(0), jnp.zeros((1, 8, 8, 4)),
+                   jnp.float32(0.0), jnp.zeros((1, tcfg.max_length, 16)))
+    vp = vae.init(jax.random.key(1), jnp.zeros((1, 16, 16, 3)))
+    tp = text.init(jax.random.key(2),
+                   jnp.zeros((1, tcfg.max_length), jnp.int32))
+    cfg = SDExperimentConfig(
+        dataset_name="noise", for_steps=8, inv_steps=8, edit_t=0.6,
+        edit_prompt="p", pca_rank=2, pullback_min_iter=2,
+        pullback_max_iter=3, x_space_guidance_num_step=2, vis_num=2,
+        vis_num_pc=1, use_preserve_norm=True,
+        result_folder=str(tmp_path / "runs"),
+        obs_folder=str(tmp_path / "obs"),
+        basis_folder=str(tmp_path / "inputs"),
+    )
+    drv = EditStableDiffusion(
+        unet, up, vae, vp, text, tp,
+        DiffusionSchedule.scaled_linear(), NoiseDataset(16, n=2), cfg,
+        logger=JSONLLogger(path=None, echo=False),
+    )
+    names = drv.run_edit_local_encoder_pullback_zt(idx=0)
+    for n in names:
+        assert os.path.exists(os.path.join(cfg.result_folder, n + ".png"))
