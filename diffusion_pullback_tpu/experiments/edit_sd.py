@@ -83,6 +83,12 @@ class SDExperimentConfig:
     # decode at most this many latents per device program (None = all at
     # once) — SDXL decodes 1024px frames; chunking bounds VAE activations
     decode_chunk: Optional[int] = None
+    # DeepCache encoder reuse on the finish sampling of the edit tail
+    # (samplers/deepcache.py): refresh the deep U-Net path every N steps,
+    # recompute only conv_in + first down block + last up block + head in
+    # between. 0/1 = exact full model every step. Cuts the SDXL-1024 CLI
+    # edit tail (16 guidance micro-steps + 100-step finish ×4 directions).
+    edit_deepcache_interval: int = 0
     result_folder: str = "./runs/sd"
     obs_folder: str = "./runs/sd/obs"
     basis_folder: str = "./inputs/local_encoder_pullback_stable_diffusion"
@@ -278,8 +284,11 @@ class EditStableDiffusion(DriverCommonMixin):
         if self.cfg.loop_impl == "host":
             step = self._host_step()
             zT = z0
-            for i, (t, tn) in enumerate(zip(self.inv_grid.timesteps,
-                                            self.inv_grid.timesteps_next)):
+            # skip the final pair — the reference inversion loop breaks
+            # before its last timestep entry (edit.py:153-154); see
+            # samplers/ddim_loop.ddim_invert
+            for i, (t, tn) in enumerate(zip(self.inv_grid.timesteps[:-1],
+                                            self.inv_grid.timesteps_next[:-1])):
                 zT = step(self.unet_params, self.inv_prompt_emb, zT, t, tn)
                 if i == 0:
                     zT.block_until_ready()
@@ -587,7 +596,6 @@ class EditStableDiffusion(DriverCommonMixin):
 
         def edit_one(p, ee, fe, ne, z_start, vk):
             edit_eps = self.eps_with(p, ee)
-            for_eps = self.eps_with(p, fe, ne)
             traj = x_space_guidance_scan(
                 edit_eps, z_start, t_edit, vk[None],
                 num_steps=cfg.x_space_guidance_num_step,
@@ -606,13 +614,11 @@ class EditStableDiffusion(DriverCommonMixin):
                 sel = preserve_contrast(sel, z_start)
             if cfg.use_preserve_norm:
                 sel = preserve_norm(sel, z_start)
-            return ddim_forward(
-                for_eps, sel, self.schedule, self.fwd_grid,
-                start_idx=self.edit_t_idx,
-            )
+            return self._finish_forward(p, sel, fe, ne)
 
         run_all = self._jitted(
-            f"sd_edit_batch_{len(todo)}_{stride}",
+            f"sd_edit_batch_{len(todo)}_{stride}"
+            f"_dc{cfg.edit_deepcache_interval}",
             lambda p, ee, fe, ne, z_start, vs: jax.vmap(
                 lambda vk: edit_one(p, ee, fe, ne, z_start, vk)
             )(vs),
@@ -633,6 +639,28 @@ class EditStableDiffusion(DriverCommonMixin):
                 imgs, os.path.join(cfg.result_folder, names[i] + ".png")
             )
         return names
+
+    def _finish_forward(self, p, sel, for_emb, neg_emb):
+        """Finish sampling of the edit tail (edit_t → 0, reference
+        edit.py:305-307). With ``edit_deepcache_interval`` > 1 the deep
+        U-Net path is refreshed every N steps and only the shallow slice
+        recomputes in between (samplers/deepcache.py) — interval 1 is
+        bit-exact with the plain path."""
+        itv = self.cfg.edit_deepcache_interval
+        if itv <= 1:
+            return ddim_forward(
+                self.eps_with(p, for_emb, neg_emb), sel, self.schedule,
+                self.fwd_grid, start_idx=self.edit_t_idx,
+            )
+        from ..samplers.deepcache import ddim_forward_deepcache_cond
+
+        cfg_on = neg_emb is not None and self.cfg.guidance_scale > 1.0
+        return ddim_forward_deepcache_cond(
+            self.unet, p, sel, for_emb, self.schedule, self.fwd_grid,
+            interval=itv, start_idx=self.edit_t_idx,
+            neg_context=neg_emb if cfg_on else None,
+            guidance_scale=self.cfg.guidance_scale if cfg_on else 0.0,
+        )
 
     # ---- decoder pullback / PCA edits (SD flavour) --------------------------
 
@@ -824,6 +852,85 @@ class EditStableDiffusion(DriverCommonMixin):
                 )
         return self._edit_along_directions(zt, vks, names, vis_num)
 
+    def run_local_pca_text(
+        self,
+        idx: int,
+        op: str = "mid",
+        block_idx: int = 0,
+        pca_rank: int = 8,
+        num_samples: int = 512,
+        perturb_h: float = 1e-1,
+        edit_prompt: Optional[str] = None,
+    ):
+        """Text-space PCA — working spec of the reference's DEPRECATED
+        local_pca_text (utils.py:1029-1101; its global_pca_text body is
+        literally `pass`, so only the local variant has defined behavior).
+        PCA of the tapped h over unit-normalized Gaussian perturbations of
+        the prompt EMBEDDING, then each principal h-direction is pulled back
+        to text-embedding space via the norm-jacobian trick
+        (∇_emb ‖(h+δu_k) − h(emb)‖ ∝ −Jᵀu_k, utils.py:1089-1095; the exact
+        VJP formulation makes the reference's ``perturb_h`` residual scale
+        cancel — the flag is accepted for signature parity only). Returns
+        the cache path of (u, s, vT_text); the reference never consumes
+        these downstream — strict symbol-completeness port."""
+        from ..geometry.pca import local_pca
+        from ..geometry.pullback import pullback_covector
+
+        cfg = self.cfg
+        if edit_prompt is not None:
+            cfg.edit_prompt = edit_prompt
+            self.edit_prompt_emb = self._get_emb(edit_prompt)
+        if not isinstance(self.edit_prompt_emb, jax.Array):
+            raise NotImplementedError(
+                "text-space PCA perturbs a single context embedding; the "
+                "reference defines it only for the SD (single-tower) family")
+        tap = TapPoint(op, block_idx)
+        name = (
+            f"local_pca_text-{cfg.dataset_name}_{idx}-edit_{cfg.edit_t}T"
+            f"-{op}-block_{block_idx}-rank_{pca_rank}-seed_{cfg.seed}"
+            f"-prompt_{(cfg.edit_prompt or 'none').replace(' ', '_')[:40]}"
+        )
+        if self.cache.load(name) is not None:
+            return self.cache.path(name)
+
+        zT = self.run_DDIMinversion(idx)
+        zt = self.DDIMforwardsteps(zT, 0, self.edit_t_idx)
+        t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
+
+        def text_pca(p, emb, z, tt, k):
+            # fn over the prompt embedding, latent held fixed — the dual of
+            # run_edit_local_pca_zt's latent perturbations
+            fn = lambda e: self._tap_encode(p, z, tt, e, tap)
+            pca = local_pca(
+                fn, emb, k, rank=pca_rank, num_samples=num_samples,
+                chunk=min(16, num_samples), sigma=1.0, unit_delta=True,
+            )
+            h_shape = jax.eval_shape(fn, emb).shape
+
+            def to_text(comp):
+                v = pullback_covector(fn, emb, comp.reshape(h_shape))
+                return (v / jnp.maximum(jnp.linalg.norm(v), 1e-12)).ravel()
+
+            vT_text = jax.lax.map(to_text, pca.components)
+            return pca.components, pca.variances, vT_text
+
+        run = self._jitted(
+            f"sd_text_pca_{tap}_{pca_rank}_{num_samples}", text_pca
+        )
+        t0 = time.perf_counter()
+        u_h, var, vT_text = run(self.unet_params, self.edit_prompt_emb, zt,
+                                t_edit, jax.random.key(cfg.seed))
+        jax.block_until_ready(vT_text)
+        self.log.log(
+            "sd_local_pca_text", seconds=time.perf_counter() - t0,
+            top_var=np.asarray(var[:3]).round(6),
+        )
+        # cache convention: u columns in h-space, s, vT rows in text space
+        return self.cache.save(
+            name, np.asarray(u_h).T, np.asarray(np.sqrt(np.maximum(var, 0))),
+            np.asarray(vT_text),
+        )
+
     def run_edit_global_pca_zt(
         self,
         idx: int,
@@ -889,7 +996,7 @@ class EditStableDiffusion(DriverCommonMixin):
         block_idx: int = 0,
         pca_rank: int = 50,
         t_grid=None,
-        sequential: bool = True,
+        sequential: Optional[bool] = None,
         after_res: bool = False,
         after_sa: bool = False,
     ):
@@ -953,6 +1060,11 @@ class EditStableDiffusion(DriverCommonMixin):
         # shards the per-t pullbacks across devices (vmap + constraint)
         mesh = self.cfg.mesh
         dp = self._harvest_dp(len(t_grid), "sd_harvest_dp_skip")
+        if sequential is None:
+            # auto dispatch — docs/downtap_vmap_cliff.md: lax.map on a
+            # single device (vmap-over-instances costs 1.5-3x; it only pays
+            # when a dp mesh axis places one instance per device)
+            sequential = True
         if dp:
             sequential = False
 
@@ -1027,6 +1139,113 @@ class EditStableDiffusion(DriverCommonMixin):
                 np.asarray(res.vT[i]),
             )
         return out
+
+    def run_sample_encoder_local_tangent_space_zt_various_prompt(
+        self,
+        prompts,
+        idx: int,
+        op: str = "mid",
+        block_idx: int = 0,
+        pca_rank: Optional[int] = None,
+        h_t: Optional[float] = None,
+        sequential: Optional[bool] = None,
+    ):
+        """Prompt-axis harvest: the reference's 50-MS-COCO-prompt sweep
+        (/root/reference/src/main.py:45-91) as ONE jitted program — the
+        inversion/partial forward run once (prompt-independent), the prompt
+        embeddings are precomputed host-side and stacked as an array axis,
+        and the per-prompt pullbacks map over that axis. With a 'dp' mesh
+        axis the prompt axis is sharded across devices (the natural v5e-8
+        workload); the prompt count is padded up to a dp multiple so every
+        chunk is one program. Cache keys match the per-prompt edit path, so
+        `--run_edit_..._with_various_prompt` edits afterwards hit the cache.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        cfg = self.cfg
+        tap = TapPoint(op, block_idx)
+        pca_rank = pca_rank or cfg.pca_rank
+        h_t = cfg.edit_t if h_t is None else h_t
+        names = [
+            basis_name(cfg.dataset_name, idx, h_t, op, block_idx, cfg.seed,
+                       edit_prompt=pr) + self._basis_name_extras(tap)
+            for pr in prompts
+        ]
+        todo = [i for i, n in enumerate(names)
+                if self.cache.load(n) is None]
+        if not todo:
+            return {p: self.cache.path(n) for p, n in zip(prompts, names)}
+
+        t_idx = int(jnp.argmin(jnp.abs(self.fwd_grid.timesteps
+                                       - h_t * 1000.0)))
+        zT = self.run_DDIMinversion(idx)
+        zt = self.DDIMforwardsteps(zT, 0, t_idx) if t_idx > 0 else zT
+        t_edit = self.fwd_grid.timesteps[t_idx]
+
+        enc, enc_vjp, impl = self._pullback_tap_encoders(tap)
+        cfg_wrap = cfg.pullback_guidance_scale > 0
+        if cfg_wrap:
+            enc = self._cfg_encoder(enc)
+            enc_vjp = self._cfg_encoder(enc_vjp) if enc_vjp is not None \
+                else None
+        embs = []
+        for i in todo:
+            e = self._get_emb(prompts[i])
+            embs.append((e, self.neg_prompt_emb) if cfg_wrap else e)
+
+        mesh = cfg.mesh
+        dp = 0
+        if mesh is not None and "dp" in mesh.axis_names \
+                and mesh.shape["dp"] > 1:
+            dp = mesh.shape["dp"]
+        if sequential is None:
+            sequential = True   # docs/downtap_vmap_cliff.md (dp path vmaps)
+        pad = (-len(todo)) % dp if dp else 0
+        embs = embs + embs[-1:] * pad
+        emb_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *embs)
+        keys = jax.random.split(jax.random.key(cfg.seed), len(embs))
+
+        def sweep(p, z, tt, emb_axis, ks):
+            def pull_one(ee, kk):
+                return local_pullback(
+                    lambda q: enc(p, q, tt, ee),
+                    z, kk, pca_rank=pca_rank,
+                    min_iter=cfg.pullback_min_iter,
+                    max_iter=cfg.pullback_max_iter,
+                    atol=cfg.pullback_atol,
+                    chunk_size=cfg.pullback_chunk_size,
+                    remat=cfg.pullback_remat,
+                    fn_vjp=((lambda q: enc_vjp(p, q, tt, ee))
+                            if enc_vjp is not None else None),
+                )
+
+            if dp:
+                con = lambda a: jax.lax.with_sharding_constraint(
+                    a, NamedSharding(mesh, PartitionSpec("dp")))
+                emb_axis = jax.tree.map(con, emb_axis)
+                ks = con(ks)
+                return jax.vmap(pull_one)(emb_axis, ks)
+            if sequential:
+                return jax.lax.map(lambda ab: pull_one(*ab), (emb_axis, ks))
+            return jax.vmap(pull_one)(emb_axis, ks)
+
+        run = self._jitted(
+            f"sd_prompt_sweep_{tap}_{pca_rank}_{len(embs)}_dp{dp}"
+            f"_{sequential}_{impl}", sweep,
+        )
+        t0 = time.perf_counter()
+        res = run(self.unet_params, zt, t_edit, emb_stack, keys)
+        jax.block_until_ready(res)
+        self.log.log(
+            "sd_prompt_sweep", num_prompts=len(todo), dp=dp, pad=pad,
+            seconds=time.perf_counter() - t0,
+        )
+        for j, i in enumerate(todo):  # padded tail rows are discarded
+            self.cache.save(
+                names[i], np.asarray(res.u[j]), np.asarray(res.s[j]),
+                np.asarray(res.vT[j]),
+            )
+        return {p: self.cache.path(n) for p, n in zip(prompts, names)}
 
     def run_sample_encoder_local_tangent_space_zt(
         self, idx: int, op="mid", block_idx=0, pca_rank=50, h_t=1.0,

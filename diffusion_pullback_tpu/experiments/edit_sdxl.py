@@ -117,6 +117,35 @@ class EditStableDiffusionXL(EditStableDiffusion):
             method=UNet2DCondition.encode_with_state,
         )
 
+    def _finish_forward(self, p, sel, for_emb, neg_emb):
+        """SDXL flavour of the edit-tail finish: unpack the (context,
+        pooled) pytrees and feed the addition-embeds path; DeepCache when
+        ``edit_deepcache_interval`` > 1, exact otherwise."""
+        itv = self.cfg.edit_deepcache_interval
+        if itv <= 1:
+            from ..samplers.ddim_loop import ddim_forward
+
+            return ddim_forward(
+                self.eps_with(p, for_emb, neg_emb), sel, self.schedule,
+                self.fwd_grid, start_idx=self.edit_t_idx,
+            )
+        from ..samplers.deepcache import ddim_forward_deepcache_cond
+
+        ctx, pooled = for_emb
+        b = sel.shape[0]
+        cfg_on = neg_emb is not None and self.cfg.guidance_scale > 1.0
+        neg_ctx = neg_added = None
+        if cfg_on:
+            nc, np_ = neg_emb
+            neg_ctx, neg_added = nc, self._added(np_, b)
+        return ddim_forward_deepcache_cond(
+            self.unet, p, sel, ctx, self.schedule, self.fwd_grid,
+            interval=itv, start_idx=self.edit_t_idx,
+            added_cond=self._added(pooled, b),
+            neg_context=neg_ctx, neg_added_cond=neg_added,
+            guidance_scale=self.cfg.guidance_scale if cfg_on else 0.0,
+        )
+
     # ---- eps ----------------------------------------------------------------
 
     def eps_with(self, params, prompt_emb, cfg_neg_emb=None):

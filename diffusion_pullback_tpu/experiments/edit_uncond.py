@@ -60,6 +60,8 @@ class UncondExperimentConfig:
     use_preserve_norm: bool = False
     use_sega_reg: bool = False
     sega_reg_sigma: float = 1.0
+    # OpenAI respacing grid spec ('' = YH linspace grid from for_steps)
+    sampling_timesteps: str = ""
     # performance boosting: η=1 below this fraction of T (edit.py:1650)
     performance_boosting_t: float = 0.2
     use_performance_boosting: bool = True
@@ -106,8 +108,20 @@ class EditUncondDiffusion(DriverCommonMixin):
         )
         self.cache = BasisCache(config.basis_folder)
 
-        self.fwd_grid = ddim_timestep_grid(config.for_steps)
-        self.inv_grid = ddim_timestep_grid(config.inv_steps, inversion=True)
+        if config.sampling_timesteps:
+            # OpenAI respacing grids ('ddim25', '250', '25,25,25') — the
+            # published ADM checkpoint settings (respace.py:7-61); the YH
+            # linspace grid does not visit the same steps
+            from ..ops.schedule import respaced_timestep_grid
+
+            self.fwd_grid = respaced_timestep_grid(config.sampling_timesteps)
+            self.inv_grid = respaced_timestep_grid(
+                config.sampling_timesteps, inversion=True
+            )
+        else:
+            self.fwd_grid = ddim_timestep_grid(config.for_steps)
+            self.inv_grid = ddim_timestep_grid(config.inv_steps,
+                                               inversion=True)
         # nearest grid index to edit_t·T (reference edit.py:95)
         self.edit_t_idx = int(
             jnp.argmin(jnp.abs(self.fwd_grid.timesteps - config.edit_t * 1000.0))
@@ -119,6 +133,9 @@ class EditUncondDiffusion(DriverCommonMixin):
         self.boost_start_idx = int(below.argmax()) if below.any() else None
 
         self._jit_cache = {}
+        # classifier-guidance hook: set to a cond_fn(x, t) → ∇ log p(y|x)
+        # (samplers/guidance.classifier_grad_fn) to guide every sampler loop
+        self.cond_fn = None
         # UNet2DConfig calls it sample_size, ADMConfig image_size
         self._sample_size = getattr(
             model.config, "sample_size", None
@@ -141,11 +158,20 @@ class EditUncondDiffusion(DriverCommonMixin):
     def _eps_with(self, params):
         """ε(z, t); learned-σ heads (ADM family) emit [ε, σ] stacked on the
         channel axis — DDIM sampling consumes the ε half (the reference's
-        et.split(...) in YHCustomScheduler.step, utils.py:1212-1215)."""
+        et.split(...) in YHCustomScheduler.step, utils.py:1212-1215).
+        With a ``cond_fn`` set (classifier guidance, the vendored
+        condition_score math — samplers/guidance.py), every sampler loop
+        automatically runs guided."""
         if getattr(self.model.config, "learn_sigma", False):
             c = self.model.config.out_channels
-            return lambda z, t: self.model.apply(params, z, t)[..., :c]
-        return lambda z, t: self.model.apply(params, z, t)
+            base = lambda z, t: self.model.apply(params, z, t)[..., :c]
+        else:
+            base = lambda z, t: self.model.apply(params, z, t)
+        if getattr(self, "cond_fn", None) is not None:
+            from ..samplers.guidance import guided_eps_fn
+
+            return guided_eps_fn(base, self.cond_fn, self.schedule)
+        return base
 
     def eps_fn(self, z, t):
         return self._eps_with(self.params)(z, t)
@@ -900,7 +926,7 @@ class EditUncondDiffusion(DriverCommonMixin):
         block_idx: int = 0,
         pca_rank: int = 50,
         t_grid: Optional[Tuple[float, ...]] = None,
-        sequential: bool = True,
+        sequential: Optional[bool] = None,
         fix_xt: bool = False,
         fix_t: bool = False,
         after_res: bool = False,
@@ -943,6 +969,14 @@ class EditUncondDiffusion(DriverCommonMixin):
         # t-axis sharded across devices instead of lax.map'ing sequentially
         mesh = self.cfg.mesh
         dp = self._harvest_dp(len(t_grid), "harvest_dp_skip")
+        if sequential is None:
+            # auto dispatch (measured r3, docs/downtap_vmap_cliff.md):
+            # single-device sweeps run lax.map — each pullback already
+            # saturates the chip and XLA's batching of the vmapped
+            # linearize/transpose + coupled while_loop costs 1.5-3x. The
+            # dp-sharded path below vmaps (one instance per device, so the
+            # batching penalty does not apply and the sweep scales).
+            sequential = True
         if dp:
             sequential = False
 

@@ -39,8 +39,13 @@ def local_pca(
     chunk: int = 64,
     sigma: float = 0.1,
     oversample: int = 8,
+    unit_delta: bool = False,
 ) -> PCAResult:
     """Streaming randomized PCA of {f(x + σδ_i)} for Gaussian δ.
+
+    ``unit_delta`` normalizes each perturbation to unit L2 norm before
+    scaling by σ — the reference's text-space PCA perturbs prompt
+    embeddings with normalize_wrt_batch'd noise (utils.py:1053).
 
     One pass accumulates mean and the sketch Y = Xᵀ Ω for a fixed Gaussian
     test matrix Ω (rank+oversample columns); a second tiny pass is avoided by
@@ -61,6 +66,10 @@ def local_pca(
     def chunk_samples(i):
         ks = jax.random.fold_in(key, i)
         delta = jax.random.normal(ks, (chunk,) + x.shape[1:], jnp.float32)
+        if unit_delta:
+            n = jnp.sqrt(jnp.sum(delta.reshape(chunk, -1) ** 2, axis=1))
+            delta = delta / jnp.maximum(n, 1e-12).reshape(
+                (chunk,) + (1,) * (delta.ndim - 1))
         return jax.vmap(lambda d: fn(x + sigma * d[None]).ravel())(delta)
 
     def omega_block(i):

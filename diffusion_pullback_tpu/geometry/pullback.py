@@ -126,6 +126,7 @@ def local_pullback(
     svd_method: str = "qr",
     probe_sharding=None,
     fn_vjp: Optional[Callable[[jax.Array], jax.Array]] = None,
+    v_init: Optional[jax.Array] = None,
 ) -> PullbackResult:
     """Top-``pca_rank`` singular triplets of ∂fn/∂x at ``x``.
 
@@ -149,6 +150,11 @@ def local_pullback(
     then runs `jax.vjp(fn_vjp, x)` — a second linearization, exactly the
     reference's jacfwd+jacobian split (utils.py:766-796), with both halves
     on fused Pallas kernels. Numerics are identical up to float ordering.
+
+    ``v_init``: explicit (pca_rank, dim_x) probe matrix overriding the
+    seeded orthonormal init — matched-init oracle tests inject the SAME
+    subspace into this and the reference's torch iteration so fixed
+    iteration counts are directly comparable without convergence.
     """
     if remat:
         fn = jax.checkpoint(fn)
@@ -179,7 +185,13 @@ def local_pullback(
         chunk_size, pca_rank,
     )
 
-    v0 = shard(_orthonormal_probes(key, dim_x, pca_rank))
+    if v_init is not None:
+        if v_init.shape != (pca_rank, dim_x):
+            raise ValueError(
+                f"v_init shape {v_init.shape} != ({pca_rank}, {dim_x})")
+        v0 = shard(jnp.asarray(v_init, jnp.float32))
+    else:
+        v0 = shard(_orthonormal_probes(key, dim_x, pca_rank))
 
     def one_iteration(v):
         u = shard(fwd(v))                 # (r, dim_h)

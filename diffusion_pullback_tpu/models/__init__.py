@@ -1,12 +1,21 @@
-from .adm import ADMTapState, UNetADM
+from .adm import (
+    ADMTapState,
+    AttentionPool2d,
+    EncoderUNetADM,
+    SuperResUNetADM,
+    UNetADM,
+)
 from .clip_text import CLIPTextModel, HashTokenizer, load_tokenizer
 from .configs import (
     ADMConfig,
+    ADMEncoderConfig,
     CLIPTextConfig,
     UNet2DConditionConfig,
     UNet2DConfig,
     VAEConfig,
     adm_cifar10,
+    adm_classifier_imagenet256,
+    adm_encoder_tiny,
     adm_ffhq_p2,
     adm_imagenet256_cond,
     adm_imagenet256_uncond,
@@ -33,14 +42,20 @@ from .vae import AutoencoderKL
 
 __all__ = [
     "ADMConfig",
+    "ADMEncoderConfig",
     "ADMTapState",
     "UNetADM",
     "adm_cifar10",
+    "adm_classifier_imagenet256",
+    "adm_encoder_tiny",
     "adm_ffhq_p2",
     "adm_imagenet256_cond",
     "adm_imagenet256_uncond",
     "adm_lsun_256",
     "adm_tiny",
+    "AttentionPool2d",
+    "EncoderUNetADM",
+    "SuperResUNetADM",
     "AutoencoderKL",
     "CLIPTextConfig",
     "CLIPTextModel",

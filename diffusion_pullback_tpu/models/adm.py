@@ -319,3 +319,184 @@ class UNetADM(nn.Module):
     def decode_with_state(self, h, state, tap, deterministic=True):
         return self.__call__(None, None, deterministic=deterministic, tap=tap,
                              h_in=h, tap_state=state, mode="decode")
+
+
+class AttentionPool2d(nn.Module):
+    """CLIP-style attention pooling (reference guided_diffusion/unet.py:24-54):
+    prepend the mean token, add a learned positional embedding, one
+    multi-head self-attention pass, read out token 0."""
+
+    num_head_channels: int
+    output_dim: int
+    dtype: Any = jnp.float32
+    precision: Any = None
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x):
+        b, hh, ww, c = x.shape
+        tokens = x.reshape(b, hh * ww, c)
+        tokens = jnp.concatenate(
+            [tokens.mean(axis=1, keepdims=True), tokens], axis=1
+        )                                                   # (B, S+1, C)
+        pos = self.param(
+            "positional_embedding",
+            lambda k, shape: jax.random.normal(k, shape, jnp.float32)
+            / (c ** 0.5),
+            (hh * ww + 1, c),
+        )
+        tokens = tokens + pos[None].astype(tokens.dtype)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, precision=self.precision,
+                       name="qkv_proj")(tokens)
+        heads = c // self.num_head_channels
+        q, k, v = jnp.split(
+            qkv.reshape(b, -1, heads, 3 * self.num_head_channels), 3, axis=-1
+        )
+        out = attention(q, k, v, impl=self.attn_impl, precision=self.precision)
+        out = nn.Dense(self.output_dim, dtype=self.dtype,
+                       precision=self.precision, name="c_proj")(
+            out.reshape(b, -1, c))
+        return out[:, 0]
+
+
+class EncoderUNetADM(nn.Module):
+    """Half-U-Net classifier (reference EncoderUNetModel,
+    guided_diffusion/unet.py:801-1012): ADM down path + middle with a pooled
+    head — the noisy-image classifier that drives `classifier_grad_fn`
+    guidance. Pool variants: 'adaptive' (global avg → zero 1×1 conv),
+    'attention' (CLIP attention pool), 'spatial'/'spatial_v2' (per-block
+    spatial means → MLP). Submodule names mirror the torch layout."""
+
+    config: Any  # ADMEncoderConfig
+
+    def _heads(self, ch: int) -> int:
+        cfg = self.config
+        if cfg.num_head_channels > 0:
+            return max(1, ch // cfg.num_head_channels)
+        return cfg.num_heads
+
+    @nn.compact
+    def __call__(self, x, t, deterministic=True):
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        attn_at = set(cfg.attention_resolutions)
+        spatial = cfg.pool.startswith("spatial")
+
+        t = jnp.asarray(t)
+        if t.ndim == 0:
+            t = jnp.broadcast_to(t[None], (x.shape[0],))
+        feat = timestep_embedding(t, cfg.model_channels,
+                                  flip_sin_to_cos=True,
+                                  downscale_freq_shift=0.0)
+        emb = nn.Dense(4 * cfg.model_channels, dtype=dtype,
+                       name="time_embed_0")(feat)
+        emb = nn.Dense(4 * cfg.model_channels, dtype=dtype,
+                       name="time_embed_2")(nn.silu(emb))
+
+        resblock = lambda ch, updown, name: ADMResBlock(
+            ch, use_scale_shift_norm=cfg.use_scale_shift_norm,
+            dropout=cfg.dropout, updown=updown,
+            norm_num_groups=cfg.norm_num_groups, dtype=dtype,
+            precision=cfg.precision, zero_init=cfg.zero_init, name=name,
+        )
+        attnblock = lambda ch, name: ADMAttentionBlock(
+            self._heads(ch), norm_num_groups=cfg.norm_num_groups,
+            dtype=dtype, precision=cfg.precision, attn_impl=cfg.attn_impl,
+            zero_init=cfg.zero_init, name=name,
+        )
+
+        results = []
+        pooled = lambda v: v.astype(jnp.float32).mean(axis=(1, 2))
+
+        h = nn.Conv(cfg.model_channels, (3, 3), padding=1, dtype=dtype,
+                    precision=cfg.precision, name="input_blocks_0_0")(x)
+        if spatial:
+            results.append(pooled(h))
+        blk, ds = 1, 1
+        n_levels = len(cfg.channel_mult)
+        for level, mult in enumerate(cfg.channel_mult):
+            ch = cfg.model_channels * mult
+            for _ in range(cfg.num_res_blocks):
+                h = resblock(ch, None, f"input_blocks_{blk}_0")(
+                    h, emb, deterministic)
+                if ds in attn_at:
+                    h = attnblock(ch, f"input_blocks_{blk}_1")(h)
+                if spatial:
+                    results.append(pooled(h))
+                blk += 1
+            if level != n_levels - 1:
+                if cfg.resblock_updown:
+                    h = resblock(ch, "down", f"input_blocks_{blk}_0")(
+                        h, emb, deterministic)
+                else:
+                    h = nn.Conv(ch, (3, 3), (2, 2), padding=1, dtype=dtype,
+                                precision=cfg.precision,
+                                name=f"input_blocks_{blk}_0")(h)
+                if spatial:
+                    results.append(pooled(h))
+                blk += 1
+                ds *= 2
+
+        mid_ch = cfg.model_channels * cfg.channel_mult[-1]
+        h = resblock(mid_ch, None, "middle_block_0")(h, emb, deterministic)
+        h = attnblock(mid_ch, "middle_block_1")(h)
+        h = resblock(mid_ch, None, "middle_block_2")(h, emb, deterministic)
+
+        if spatial:
+            results.append(pooled(h))
+            h = jnp.concatenate(results, axis=-1)
+            h = nn.Dense(2048, dtype=dtype, precision=cfg.precision,
+                         name="out_0")(h)
+            if cfg.pool == "spatial_v2":
+                h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
+                                 dtype=dtype, name="out_1")(h)
+                h = nn.silu(h)
+            else:
+                h = nn.relu(h)
+            last = "out_2" if cfg.pool == "spatial" else "out_3"
+            return nn.Dense(cfg.out_channels, dtype=dtype,
+                            precision=cfg.precision, name=last)(h)
+
+        h = nn.silu(nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
+                                 dtype=dtype, name="out_0")(h))
+        if cfg.pool == "adaptive":
+            h = h.mean(axis=(1, 2), keepdims=True)
+            h = _zeros_conv(cfg.out_channels, (1, 1), dtype, cfg.precision,
+                            "out_2", zero=cfg.zero_init)(h)
+            return h.reshape(h.shape[0], -1)
+        if cfg.pool == "attention":
+            return AttentionPool2d(
+                cfg.num_head_channels, cfg.out_channels, dtype=dtype,
+                precision=cfg.precision, attn_impl=cfg.attn_impl,
+                name="out_2",
+            )(h)
+        raise ValueError(f"unknown pool {cfg.pool!r}")
+
+
+class SuperResUNetADM(nn.Module):
+    """Super-resolution ADM U-Net (reference SuperResModel,
+    guided_diffusion/unet.py:784-798): conditions on a low-resolution image
+    by bilinear-upsampling it to the target size and concatenating along
+    channels; everything else is the plain UNetADM with 2× in_channels.
+    The inner module owns the params, so tap/encode/decode methods work
+    through `.unet` unchanged."""
+
+    config: ADMConfig
+
+    def setup(self):
+        import dataclasses as _dc
+
+        self.unet = UNetADM(
+            _dc.replace(self.config, in_channels=2 * self.config.in_channels)
+        )
+
+    def __call__(self, x, t, low_res=None, y=None, deterministic=True):
+        if low_res is None:
+            raise ValueError("SuperResUNetADM requires low_res conditioning")
+        b, hh, ww, _ = x.shape
+        up = jax.image.resize(
+            low_res, (low_res.shape[0], hh, ww, low_res.shape[-1]), "bilinear"
+        )
+        up = jnp.broadcast_to(up, (b,) + up.shape[1:])
+        return self.unet(jnp.concatenate([x, up], axis=-1), t, y=y,
+                         deterministic=deterministic)

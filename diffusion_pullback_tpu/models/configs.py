@@ -313,6 +313,47 @@ class ADMConfig:
     attn_impl: str = "xla"
 
 
+@dataclasses.dataclass(frozen=True)
+class ADMEncoderConfig:
+    """Half-U-Net classifier (reference EncoderUNetModel, guided_diffusion/
+    unet.py:801-1012): the down path + middle of an ADM U-Net with a pooled
+    classification head. Defaults = the published ImageNet classifier
+    (script_util.py classifier_defaults: width 128, depth 2, attention at
+    32/16/8, scale-shift norm, resblock up/down, attention pool)."""
+
+    image_size: int = 256
+    in_channels: int = 3
+    out_channels: int = 1000           # class count
+    model_channels: int = 128
+    num_res_blocks: int = 2
+    channel_mult: Tuple[int, ...] = (1, 1, 2, 2, 4, 4)
+    attention_resolutions: Tuple[int, ...] = (32, 16, 8)
+    num_heads: int = 4
+    num_head_channels: int = 64
+    use_scale_shift_norm: bool = True
+    resblock_updown: bool = True
+    pool: str = "attention"            # adaptive | attention | spatial | spatial_v2
+    dropout: float = 0.0
+    norm_num_groups: int = 32
+    zero_init: bool = True
+    dtype: str = "float32"
+    precision: Optional[str] = None
+    attn_impl: str = "xla"
+
+
+def adm_classifier_imagenet256() -> ADMEncoderConfig:
+    return ADMEncoderConfig()
+
+
+def adm_encoder_tiny(image_size: int = 16, pool: str = "attention"
+                     ) -> ADMEncoderConfig:
+    return ADMEncoderConfig(
+        image_size=image_size, out_channels=10, model_channels=8,
+        num_res_blocks=1, channel_mult=(1, 2), attention_resolutions=(2,),
+        num_heads=2, num_head_channels=4, norm_num_groups=4, pool=pool,
+    )
+
+
 def adm_imagenet256_uncond() -> ADMConfig:
     return ADMConfig()
 

@@ -176,6 +176,38 @@ def _ignorable(path: Tuple[str, ...]) -> bool:
 
 # ---- inverse direction (for offline round-trip validation) ----------------
 
+# module-list stems whose Flax auto-name digit suffixes expand back to the
+# torch '.N.' form on export — covers diffusers (blocks/resnets/attentions/
+# samplers/transformer_blocks/ff.net), HF CLIP (encoder.layers), and the ADM
+# torch Sequentials (input/output/middle blocks, time_embed, in/out/emb
+# layers, classifier 'out' head). Names like time_embedding.linear_1 and
+# add_embedding.linear_2 are REAL torch module names and must not expand.
+_EXPAND_STEMS = {
+    "down_blocks", "up_blocks", "resnets", "attentions", "downsamplers",
+    "upsamplers", "transformer_blocks", "net", "layers", "input_blocks",
+    "output_blocks", "middle_block", "time_embed", "in_layers", "out_layers",
+    "emb_layers", "out",
+}
+
+
+def _expand_list_indices(comp: str):
+    """'transformer_blocks_0' → ['transformer_blocks', '0'];
+    'input_blocks_4_1' → ['input_blocks', '4', '1'] (double Sequential)."""
+    suffix = []
+    while True:
+        m = re.match(r"(.+)_(\d+)$", comp)
+        if not m:
+            break
+        stem = m.group(1)
+        if stem in _EXPAND_STEMS or re.fullmatch(
+                r"(?:input_blocks|output_blocks)_\d+", stem):
+            suffix.insert(0, m.group(2))
+            comp = stem
+        else:
+            break
+    return [comp] + suffix
+
+
 def flax_params_to_torch_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
     """Synthesize the torch-layout state dict for a Flax param tree —
     the converter's exact inverse, used to validate the mapping without a
@@ -210,14 +242,7 @@ def flax_params_to_torch_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndar
             mods = mods[:-1]
         name_parts = []
         for p in mods:
-            m = re.match(r"(.+)_(\d+)$", p)
-            if m and m.group(1) in (
-                "down_blocks", "up_blocks", "resnets", "attentions",
-                "downsamplers", "upsamplers",
-            ):
-                name_parts += [m.group(1), m.group(2)]
-            else:
-                name_parts.append(p)
+            name_parts += _expand_list_indices(p)
         name_parts = ["time_embedding" if p == "time_mlp" else p for p in name_parts]
         base = ".".join(name_parts)
         if leaf == "embedding":

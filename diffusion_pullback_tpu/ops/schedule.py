@@ -159,6 +159,92 @@ def ddim_timestep_grid(
     )
 
 
+def space_timesteps(num_timesteps: int, section_counts) -> frozenset:
+    """OpenAI respacing grid (reference
+    /root/reference/src/models/guided_diffusion/respace.py:7-61): pick
+    timesteps from equally-sized sections of the original process.
+
+    ``section_counts``: list of per-section step counts, a comma-separated
+    string, or ``"ddimN"`` for the DDIM paper's fixed integer striding.
+    Returns the retained original-process steps. ADM/P2 checkpoints were
+    published with these grids (e.g. "ddim25", "250"); the YH linspace grid
+    (`ddim_timestep_grid`) does NOT visit the same steps.
+    """
+    if isinstance(section_counts, str):
+        if section_counts.startswith("ddim"):
+            desired = int(section_counts[len("ddim"):])
+            for stride in range(1, num_timesteps):
+                if len(range(0, num_timesteps, stride)) == desired:
+                    return frozenset(range(0, num_timesteps, stride))
+            raise ValueError(
+                f"cannot create exactly {desired} steps with an integer stride"
+            )
+        section_counts = [int(x) for x in section_counts.split(",")]
+    size_per, extra = divmod(num_timesteps, len(section_counts))
+    start_idx, all_steps = 0, []
+    for i, section_count in enumerate(section_counts):
+        size = size_per + (1 if i < extra else 0)
+        if size < section_count:
+            raise ValueError(
+                f"cannot divide section of {size} steps into {section_count}"
+            )
+        frac_stride = 1 if section_count <= 1 else (size - 1) / (section_count - 1)
+        cur = 0.0
+        for _ in range(section_count):
+            all_steps.append(start_idx + round(cur))
+            cur += frac_stride
+        start_idx += size
+    return frozenset(all_steps)
+
+
+def respaced_timestep_grid(
+    section_counts,
+    num_train_timesteps: int = 1000,
+    inversion: bool = False,
+) -> TimestepGrid:
+    """A `TimestepGrid` visiting exactly the `space_timesteps` retained
+    steps — sampling ADM checkpoints at their published grids through the
+    same DDIM machinery as the YH grid. ᾱ lookups hit the retained original
+    steps, which is what SpacedDiffusion's β-remap preserves
+    (respace.py:77-88), so no table rebuild is needed for sampling.
+
+    Pairing matches `ddim_timestep_grid`: forward descends through the
+    retained steps; inversion ascends (+1e-6 float-tag) through the same
+    (t, t_next) pairs reversed.
+    """
+    seq = np.asarray(
+        sorted(space_timesteps(num_train_timesteps, section_counts)),
+        dtype=np.float64,
+    )
+    if inversion:
+        seq = seq + 1e-6
+        ts, ts_next = seq[:-1], seq[1:]
+    else:
+        ts, ts_next = seq[1:][::-1], seq[:-1][::-1]
+    return TimestepGrid(
+        timesteps=jnp.asarray(ts, dtype=jnp.float32),
+        timesteps_next=jnp.asarray(ts_next, dtype=jnp.float32),
+    )
+
+
+def respaced_betas(schedule: DiffusionSchedule, use_timesteps):
+    """SpacedDiffusion's β table for a respaced process (respace.py:77-88):
+    new β_i = 1 − ᾱ_i / ᾱ_prev over the retained steps, so the respaced
+    process's cumulative ᾱ matches the original at every retained step.
+    Needed for *training/VB losses* on respaced grids (sampling only needs
+    `respaced_timestep_grid`). Returns (betas float64 array, timestep_map).
+    """
+    ac = np.cumprod(1.0 - np.asarray(schedule.betas, dtype=np.float64))
+    keep = set(int(t) for t in use_timesteps)
+    last, new_betas, tmap = 1.0, [], []
+    for i, a in enumerate(ac):
+        if i in keep:
+            new_betas.append(1.0 - a / last)
+            last = a
+            tmap.append(i)
+    return np.asarray(new_betas, dtype=np.float64), tmap
+
+
 def alpha_bar(schedule: DiffusionSchedule, t: jax.Array) -> jax.Array:
     """ᾱ_t lookup with the reference's floor-to-int semantics (utils.py:1314).
 

@@ -106,9 +106,15 @@ def ddim_invert(
     grid: TimestepGrid,
 ) -> jax.Array:
     """x0 → x_T over the inversion grid (reference run_DDIMinversion loop,
-    edit.py:152-178 — note it breaks before the final grid entry, i.e. scans
-    exactly the (t, t_next) pairs, which is what the grid already encodes)."""
-    xT, _ = ddim_scan(eps_fn, x0, schedule, grid.timesteps, grid.timesteps_next)
+    edit.py:152-178, :613-678). The reference loop breaks BEFORE its final
+    timestep entry (`if i == len(timesteps) - 1: break`), so with an
+    n-point grid (n−1 pairs) it executes only the first n−2 pairs and its
+    "xT" sits at seq[n−2], not t_max — we scan the same n−2 pairs for
+    output parity (verified against the executed reference loop in
+    tests/test_fullscale_convert.py)."""
+    xT, _ = ddim_scan(
+        eps_fn, x0, schedule, grid.timesteps[:-1], grid.timesteps_next[:-1]
+    )
     return xT
 
 

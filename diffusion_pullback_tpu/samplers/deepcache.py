@@ -94,12 +94,21 @@ def ddim_forward_deepcache_cond(
     start_idx: int = 0,
     end_idx: Optional[int] = None,
     added_cond=None,
+    neg_context: Optional[jax.Array] = None,
+    neg_added_cond=None,
+    guidance_scale: float = 0.0,
 ) -> jax.Array:
     """Conditioned (SD-family) flavour of `ddim_forward_deepcache`: the
     cached deep path includes the cross-attention blocks; the per-step
     shallow slice is UNet2DCondition.shallow_encode (conv_in + first down
     block) and the reuse step runs only the last up block + head.
-    interval=1 ≡ the exact full model."""
+    interval=1 ≡ the exact full model.
+
+    With ``neg_context`` and ``guidance_scale`` > 1, every ε evaluation is
+    classifier-free guidance as one fused 2·B batch ([neg; cond] rows, the
+    eps_with discipline, reference edit.py:446-463) — the deep-feature cache
+    then covers both rows, so the reuse step still runs only the cheap
+    slice once per CFG pair."""
     from ..models.unet2d_condition import CondTapState, UNet2DCondition
 
     n_up = len(model.config.up_block_types)
@@ -112,10 +121,43 @@ def ddim_forward_deepcache_cond(
     tn = grid.timesteps_next[start_idx:end]
     idx = jnp.arange(ts.shape[0])
 
-    kw = {} if added_cond is None else {"added_cond": added_cond}
+    cfg_on = neg_context is not None and guidance_scale > 1.0
+    b = x.shape[0]
+
+    def _bcast(a, n):
+        return jnp.broadcast_to(a, (n,) + a.shape[1:])
+
+    if cfg_on:
+        ctx2 = jnp.concatenate(
+            [_bcast(neg_context, b), _bcast(context, b)], axis=0
+        )
+        if added_cond is not None:
+            neg_added = neg_added_cond if neg_added_cond is not None \
+                else added_cond
+            added2 = jax.tree.map(
+                lambda n, c: jnp.concatenate([_bcast(n, b), _bcast(c, b)],
+                                             axis=0),
+                neg_added, added_cond,
+            )
+            kw = {"added_cond": added2}
+        else:
+            kw = {}
+        eval_ctx = ctx2
+        model_in = lambda z: jnp.concatenate([z, z], axis=0)
+
+        def combine(eps2):
+            e_un, e_c = jnp.split(eps2, 2, axis=0)
+            return e_un + guidance_scale * (e_c - e_un)
+    else:
+        kw = {} if added_cond is None else {"added_cond": added_cond}
+        eval_ctx = context
+        model_in = lambda z: z
+        combine = lambda eps: eps
+
     h_shape = jax.eval_shape(
         lambda z, t: model.apply(
-            params, z, t, context, tap, method=UNet2DCondition.encode, **kw
+            params, model_in(z), t, eval_ctx, tap,
+            method=UNet2DCondition.encode, **kw
         ),
         x, jnp.float32(0.0),
     )
@@ -126,24 +168,24 @@ def ddim_forward_deepcache_cond(
 
         def full(_):
             h, state = model.apply(
-                params, xt, t, context, tap,
+                params, model_in(xt), t, eval_ctx, tap,
                 method=UNet2DCondition.encode_with_state, **kw
             )
             eps = model.apply(
                 params, h, state, tap, method=UNet2DCondition.decode_with_state
             )
-            return eps, h
+            return combine(eps), h
 
         def reuse(_):
             shallow = model.apply(
-                params, xt, t, context,
+                params, model_in(xt), t, eval_ctx,
                 method=UNet2DCondition.shallow_encode, **kw
             )
             eps = model.apply(
                 params, h_cache, shallow, tap,
                 method=UNet2DCondition.decode_with_state
             )
-            return eps, h_cache
+            return combine(eps), h_cache
 
         eps, h_new = jax.lax.cond(i % interval == 0, full, reuse, None)
         out = ddim_step(

@@ -55,3 +55,61 @@ def x_space_guidance_scan(
 
     _, traj = jax.lax.scan(body, z0, None, length=num_steps)
     return jnp.concatenate([z0[None], traj], axis=0)
+
+
+# ---- classifier guidance (ADM family) --------------------------------------
+# Working TPU-native spec of the reference's vendored guided-sampling math
+# (/root/reference/src/models/guided_diffusion/gaussian_diffusion.py:356-392):
+# condition_mean (Sohl-Dickstein et al. 2015) shifts the DDPM posterior mean
+# by Σ·∇ₓ log p(y|x); condition_score (Song et al. 2020) folds the gradient
+# into ε, which is the form every DDIM step here consumes.
+
+
+def classifier_grad_fn(
+    logit_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    y: jax.Array,
+    scale: float = 1.0,
+):
+    """cond_fn(x, t) = scale · ∇ₓ log softmax(classifier(x, t))[y] — the
+    cond_fn the OpenAI sampling scripts build around EncoderUNetModel.
+    ``y``: (B,) int labels; ``logit_fn(x, t)`` → (B, K) logits."""
+
+    def cond_fn(x, t):
+        yb = jnp.broadcast_to(jnp.asarray(y), (x.shape[0],))
+
+        def log_prob(xx):
+            logits = logit_fn(xx, t)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return jnp.take_along_axis(logp, yb[:, None], axis=-1).sum()
+
+        return scale * jax.grad(log_prob)(x)
+
+    return cond_fn
+
+
+def condition_eps(eps: jax.Array, grad: jax.Array, abar_t) -> jax.Array:
+    """condition_score in ε form (gaussian_diffusion.py:371-392):
+    ε ← ε − √(1−ᾱ_t)·∇ₓ log p(y|x). Feeding the conditioned ε through
+    `predict_x0` + the posterior mean reproduces the reference's
+    pred_xstart/mean updates exactly (oracle-tested)."""
+    return eps - jnp.sqrt(1.0 - abar_t) * grad
+
+
+def condition_mean(mean: jax.Array, variance, grad: jax.Array) -> jax.Array:
+    """condition_mean (gaussian_diffusion.py:356-369): μ ← μ + Σ·g, the
+    DDPM-sampler (p_sample) conditioning strategy."""
+    return mean + variance * grad
+
+
+def guided_eps_fn(eps_fn: EpsFn, cond_fn, schedule) -> EpsFn:
+    """Wrap an ε model with classifier guidance so any sampler loop here
+    (ddim_forward / deepcache / scans) runs guided without modification —
+    each eval computes ε(x,t) and the classifier gradient in one program."""
+    from ..ops.schedule import alpha_bar
+
+    def fn(x, t):
+        return condition_eps(
+            eps_fn(x, t), cond_fn(x, t), alpha_bar(schedule, t)
+        )
+
+    return fn

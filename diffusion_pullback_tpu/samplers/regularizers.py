@@ -21,12 +21,26 @@ def _per_sample(fn, x):
     return fn(flat).reshape(x.shape)
 
 
+def _ref_stat(stat: jax.Array, n_edit: int) -> jax.Array:
+    """Align a per-reference-sample statistic (shape (B_ref,)) with the edit
+    batch: identity when batches match, broadcast when the reference is a
+    single latent; any other mismatch is a caller bug."""
+    if stat.shape[0] == n_edit:
+        return stat
+    if stat.shape[0] == 1:
+        return jnp.broadcast_to(stat, (n_edit,))
+    raise ValueError(
+        f"reference batch {stat.shape[0]} incompatible with edit batch {n_edit}"
+    )
+
+
 def preserve_norm(x_edit: jax.Array, x_ref: jax.Array) -> jax.Array:
-    """Rescale each edited sample to the reference latent's L2 norm (edits
-    move along unit directions; this keeps ‖x_t‖ on the noise shell the
-    sampler expects)."""
+    """Rescale each edited sample to its own reference latent's L2 norm
+    (edits move along unit directions; this keeps ‖x_t‖ on the noise shell
+    the sampler expects). A batch-1 reference broadcasts across the edit
+    batch; otherwise matching is strictly per-sample."""
     ref = jnp.linalg.norm(x_ref.reshape(x_ref.shape[0], -1), axis=1)
-    ref = jnp.broadcast_to(ref.mean(), (x_edit.shape[0],))
+    ref = _ref_stat(ref, x_edit.shape[0])
 
     def f(flat):
         n = jnp.linalg.norm(flat, axis=1, keepdims=True)
@@ -36,16 +50,18 @@ def preserve_norm(x_edit: jax.Array, x_ref: jax.Array) -> jax.Array:
 
 
 def preserve_contrast(x_edit: jax.Array, x_ref: jax.Array) -> jax.Array:
-    """Match each edited sample's (mean, std) to the reference latent —
+    """Match each edited sample's (mean, std) to its own reference latent —
     the 'contrast' regularizer: edits may brighten/flatten the latent;
-    re-standardizing suppresses global exposure drift."""
+    re-standardizing suppresses global exposure drift. Batch-1 references
+    broadcast; otherwise matching is per-sample."""
     rflat = x_ref.reshape(x_ref.shape[0], -1)
-    r_mu, r_sd = rflat.mean(), rflat.std()
+    r_mu = _ref_stat(rflat.mean(axis=1), x_edit.shape[0])
+    r_sd = _ref_stat(rflat.std(axis=1), x_edit.shape[0])
 
     def f(flat):
         mu = flat.mean(axis=1, keepdims=True)
         sd = flat.std(axis=1, keepdims=True)
-        return (flat - mu) * (r_sd / jnp.maximum(sd, 1e-12)) + r_mu
+        return (flat - mu) * (r_sd[:, None] / jnp.maximum(sd, 1e-12)) + r_mu[:, None]
 
     return _per_sample(f, x_edit)
 

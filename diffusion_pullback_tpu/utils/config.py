@@ -153,6 +153,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="attention impl inside the differentiated encoder; "
                         "'flash' pairs the fused custom_jvp tangent kernel "
                         "with the flash custom_vjp backward")
+    p.add_argument("--classifier_scale", type=float, default=0.0,
+                   help="ADM classifier guidance scale (vendored "
+                        "condition_score math): >0 guides uncond/ADM "
+                        "sampling with an EncoderUNetADM classifier")
+    p.add_argument("--classifier_path", type=str, default="",
+                   help="torch checkpoint for the guidance classifier "
+                        "(EncoderUNetModel layout); empty = random init")
+    p.add_argument("--classifier_label", type=int, default=0,
+                   help="target class label y for classifier guidance")
+    p.add_argument("--sampling_timesteps", type=str, default="",
+                   help="OpenAI respacing grid for ADM sampling: 'ddim25', "
+                        "'250', '25,25,25' (space_timesteps semantics); "
+                        "empty = the YH linspace grid")
+    p.add_argument("--edit_deepcache_interval", type=int, default=0,
+                   help="DeepCache encoder reuse on the edit-tail finish "
+                        "sampling (SD/SDXL): refresh the deep U-Net path "
+                        "every N steps; 0/1 = exact full model")
     p.add_argument("--pca_rank", type=int, default=2)
     p.add_argument("--pullback_chunk_size", type=int, default=0,
                    help="probe-axis chunking for memory-bound configs; 0=off")

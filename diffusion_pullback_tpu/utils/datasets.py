@@ -240,11 +240,23 @@ _BUILTIN_CAPTIONS = [
 ]
 
 
+# shipped 50-caption COCO-style file: makes the reference's 50-prompt
+# harvest (src/main.py:45-91) yield 50 DISTINCT bases offline instead of
+# cycling the 10-caption builtin bank.
+_SHIPPED_PROMPT_FILE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "inputs", "prompts_coco50.txt",
+)
+
+
 def get_prompt_list(num_captions: int = 10, path: Optional[str] = None):
     """Reference get_ms_coco_prompt_list surface: first `num_captions`
-    prompts from a local captions file (one per line / json list) or the
-    built-in bank."""
-    if path and os.path.exists(path):
+    prompts from a local captions file (one per line / json list), the
+    shipped `inputs/prompts_coco50.txt`, or the built-in 10-caption bank."""
+    if not (path and os.path.exists(path)):
+        path = _SHIPPED_PROMPT_FILE if os.path.exists(_SHIPPED_PROMPT_FILE) \
+            else None
+    if path:
         import json
 
         with open(path) as f:
@@ -252,6 +264,8 @@ def get_prompt_list(num_captions: int = 10, path: Optional[str] = None):
                 caps = json.load(f)
             else:
                 caps = [l.strip() for l in f if l.strip()]
-        return caps[:num_captions]
+        if caps:
+            reps = (num_captions + len(caps) - 1) // len(caps)
+            return (caps * reps)[:num_captions]
     reps = (num_captions + len(_BUILTIN_CAPTIONS) - 1) // len(_BUILTIN_CAPTIONS)
     return (_BUILTIN_CAPTIONS * reps)[:num_captions]

@@ -134,6 +134,7 @@ def build_uncond(args, mesh=None):
         use_preserve_norm=args.use_preserve_norm,
         use_sega_reg=args.use_sega_reg,
         sega_reg_sigma=args.sega_reg_sigma,
+        sampling_timesteps=args.sampling_timesteps,
         performance_boosting_t=args.performance_boosting_t,
         use_performance_boosting=args.performance_boosting_t > 0,
         pca_rank=args.pca_rank,
@@ -147,7 +148,51 @@ def build_uncond(args, mesh=None):
         ),
     )
     logger = JSONLLogger(os.path.join(args.exp_folder, "log.jsonl"))
-    return EditUncondDiffusion(model, params, schedule, dataset, exp_cfg, logger)
+    drv = EditUncondDiffusion(model, params, schedule, dataset, exp_cfg, logger)
+
+    if getattr(args, "classifier_scale", 0.0) > 0:
+        # ADM classifier guidance (the vendored condition_score path,
+        # gaussian_diffusion.py:371-392): a noisy-image classifier's
+        # log-prob gradient folds into epsilon on every sampler loop
+        import dataclasses as _dc
+
+        from diffusion_pullback_tpu.models import (
+            EncoderUNetADM,
+            adm_classifier_imagenet256,
+        )
+        from diffusion_pullback_tpu.samplers import classifier_grad_fn
+
+        ccfg = _dc.replace(
+            adm_classifier_imagenet256(), image_size=args.image_size
+        )
+        clf = EncoderUNetADM(ccfg)
+        if args.classifier_path:
+            from diffusion_pullback_tpu.models.convert import (
+                convert_torch_state_dict,
+                load_torch_checkpoint_file,
+            )
+
+            template = jax.eval_shape(
+                lambda k: clf.init(k, x0, jnp.float32(0.0)), jax.random.key(0)
+            )
+            template = jax.tree.map(
+                lambda t: jnp.zeros(t.shape, t.dtype), template
+            )
+            cparams = convert_torch_state_dict(
+                load_torch_checkpoint_file(args.classifier_path), template
+            )
+        else:
+            print("[main] classifier guidance with random-init classifier "
+                  "(no --classifier_path)")
+            cparams = jax.jit(
+                lambda k: clf.init(k, x0, jnp.float32(0.0))
+            )(jax.random.key(args.seed + 1))
+        y = jnp.full((1,), args.classifier_label, jnp.int32)
+        drv.cond_fn = classifier_grad_fn(
+            lambda z, t: clf.apply(cparams, z, t), y,
+            scale=args.classifier_scale,
+        )
+    return drv
 
 
 def build_sd(args, mesh=None):
@@ -250,6 +295,7 @@ def build_sd(args, mesh=None):
         dynamic_thresholding_q=args.dynamic_thresholding_q,
         use_preserve_contrast=args.use_preserve_contrast,
         use_preserve_norm=args.use_preserve_norm,
+        edit_deepcache_interval=args.edit_deepcache_interval,
         pullback_chunk_size=args.pullback_chunk_size or None,
         result_folder=args.result_folder,
         obs_folder=args.obs_folder,
@@ -404,6 +450,7 @@ def build_sdxl(args, mesh=None):
         dynamic_thresholding_q=args.dynamic_thresholding_q,
         use_preserve_contrast=args.use_preserve_contrast,
         use_preserve_norm=args.use_preserve_norm,
+        edit_deepcache_interval=args.edit_deepcache_interval,
         # r<=2 probes fit one chip un-chunked (measured: 12.35 s vs
         # 15.85 s chunked for the 50-iter 1024px mid pullback); larger
         # probe blocks serialize through lax.map to bound HBM
@@ -461,9 +508,19 @@ def _dispatch(args):
     if args.run_edit_local_encoder_pullback_zt_with_various_prompt:
         from diffusion_pullback_tpu.utils.datasets import get_prompt_list
 
-        for prompt in get_prompt_list(num_captions=args.num_local_basis or 5):
+        prompts = get_prompt_list(num_captions=args.num_local_basis or 5)
+        sweep_idx = args.various_prompt_sample_idx or args.sample_idx
+        if hasattr(edit, "run_sample_encoder_local_tangent_space_zt_various_prompt"):
+            # one program fills the basis cache for every prompt — with a
+            # 'dp' mesh axis the prompt axis shards across devices
+            # (reference main.py:45-91 runs this sweep serially per prompt)
+            edit.run_sample_encoder_local_tangent_space_zt_various_prompt(
+                prompts, idx=sweep_idx, op=args.op,
+                block_idx=args.block_idx, pca_rank=args.pca_rank or 2,
+            )
+        for prompt in prompts:
             edit.run_edit_local_encoder_pullback_zt(
-                idx=args.various_prompt_sample_idx or args.sample_idx,
+                idx=sweep_idx,
                 op=args.op, block_idx=args.block_idx, vis_num=4, vis_num_pc=2,
                 pca_rank=args.pca_rank or 2, edit_prompt=prompt,
             )

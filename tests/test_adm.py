@@ -88,3 +88,39 @@ def test_resblock_updown_paths():
     params = model.init(jax.random.key(0), x, jnp.float32(5.0))
     out = model.apply(params, x, jnp.float32(5.0))
     assert out.shape == (1, 16, 16, 6)
+
+
+@pytest.mark.parametrize("pool", ["attention", "adaptive", "spatial",
+                                  "spatial_v2"])
+def test_encoder_unet_pools(pool):
+    """EncoderUNetADM (reference EncoderUNetModel, unet.py:801): every pool
+    head yields (B, num_classes) logits and is differentiable wrt x —
+    the property classifier guidance needs."""
+    from diffusion_pullback_tpu.models import EncoderUNetADM, adm_encoder_tiny
+
+    m = EncoderUNetADM(adm_encoder_tiny(16, pool=pool))
+    x = jax.random.normal(jax.random.key(1), (2, 16, 16, 3))
+    t = jnp.float32(10.0)
+    p = m.init(jax.random.key(0), x, t)
+    out = m.apply(p, x, t)
+    assert out.shape == (2, 10)
+    g = jax.grad(lambda xx: m.apply(p, xx, t).sum())(x)
+    assert g.shape == x.shape
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_superres_model_conditions_on_low_res():
+    """SuperResUNetADM (reference SuperResModel, unet.py:784): low_res is
+    upsampled + channel-concatenated; changing it changes ε."""
+    from diffusion_pullback_tpu.models import SuperResUNetADM
+
+    m = SuperResUNetADM(dataclasses.replace(adm_tiny(16), zero_init=False))
+    x = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))
+    lr = jax.random.normal(jax.random.key(1), (1, 8, 8, 3))
+    p = m.init(jax.random.key(2), x, jnp.float32(5.0), low_res=lr)
+    out = m.apply(p, x, jnp.float32(5.0), low_res=lr)
+    assert out.shape == (2, 16, 16, 6)  # learned-sigma tiny config
+    out2 = m.apply(p, x, jnp.float32(5.0), low_res=lr + 1.0)
+    assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-6
+    with pytest.raises(ValueError):
+        m.apply(p, x, jnp.float32(5.0))

@@ -32,6 +32,9 @@ from diffusion_pullback_tpu.utils.datasets import NoiseDataset
 from diffusion_pullback_tpu.utils.logging import JSONLLogger
 
 
+pytestmark = pytest.mark.slow  # heavy e2e/oracle/mesh (make test-all)
+
+
 def _driver(tmp_path, tag, **cfg_over):
     ucfg = dataclasses.replace(sd_tiny_unet(8), cross_attention_dim=16)
     tcfg = dataclasses.replace(clip_text_tiny(), hidden_size=16)

@@ -29,6 +29,9 @@ from diffusion_pullback_tpu.utils.datasets import NoiseDataset
 from diffusion_pullback_tpu.utils.logging import JSONLLogger
 
 
+pytestmark = pytest.mark.slow  # heavy e2e/oracle/mesh (make test-all)
+
+
 @pytest.fixture()
 def sd_driver(tmp_path):
     ucfg = dataclasses.replace(sd_tiny_unet(8), cross_attention_dim=16)

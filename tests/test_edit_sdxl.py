@@ -27,6 +27,9 @@ from diffusion_pullback_tpu.utils.datasets import NoiseDataset
 from diffusion_pullback_tpu.utils.logging import JSONLLogger
 
 
+pytestmark = pytest.mark.slow  # heavy e2e/oracle/mesh (make test-all)
+
+
 @pytest.fixture()
 def xl_driver(tmp_path):
     # sdxl_tiny_unet: context 16 (= two towers of 8), addition_embed_dim 8
@@ -135,3 +138,26 @@ def test_xl_decoder_pullback_edit(xl_driver):
         assert os.path.exists(
             os.path.join(xl_driver.cfg.result_folder, n + ".png")
         ), n
+
+
+def test_xl_edit_tail_deepcache_interval1_matches_plain(xl_driver):
+    """SDXL _finish_forward override: interval=1 ≡ plain finish (added-cond
+    plumbed through the DeepCache sampler); interval=3 runs finite. Also
+    checked with CFG on (fused 2·B rows + dual added conds)."""
+    zt = jax.random.normal(jax.random.key(7), (2, 8, 8, 4))
+    p = xl_driver.unet_params
+    fe, ne = xl_driver.for_prompt_emb, xl_driver.neg_prompt_emb
+
+    for gs in (0.0, 3.0):
+        xl_driver.cfg.guidance_scale = gs
+        xl_driver.cfg.edit_deepcache_interval = 0
+        plain = xl_driver._finish_forward(p, zt, fe, ne)
+        xl_driver.cfg.edit_deepcache_interval = 1
+        dc1 = xl_driver._finish_forward(p, zt, fe, ne)
+        np.testing.assert_allclose(np.asarray(dc1), np.asarray(plain),
+                                   rtol=1e-4, atol=1e-5)
+        xl_driver.cfg.edit_deepcache_interval = 3
+        dc3 = xl_driver._finish_forward(p, zt, fe, ne)
+        assert np.isfinite(np.asarray(dc3)).all()
+    xl_driver.cfg.edit_deepcache_interval = 0
+    xl_driver.cfg.guidance_scale = 0.0

@@ -80,6 +80,7 @@ def test_forward_smoke(driver, tmp_path):
     assert os.path.exists(tmp_path / "g.png")
 
 
+@pytest.mark.slow
 def test_tangent_space_harvest(driver):
     saved = driver.run_sample_encoder_local_tangent_space_xt(
         idx=1, pca_rank=2, t_grid=(0.4, 0.8)
@@ -89,6 +90,7 @@ def test_tangent_space_harvest(driver):
         assert os.path.exists(p)
 
 
+@pytest.mark.slow
 def test_decoder_pullback_edit(driver):
     """Decoder-sensitivity directions pulled to x via encoder Jᵀ → edit PNGs
     (completes the reference's undispatched decoder-pullback flags)."""
@@ -107,6 +109,7 @@ def test_decoder_pullback_edit(driver):
     assert names_x0 != names
 
 
+@pytest.mark.slow
 def test_global_pca_edit(driver):
     """Population h-PCA directions → Jᵀ → guidance edit (reference
     global_pca_zt flag, declared but never dispatched)."""

@@ -18,6 +18,9 @@ from diffusion_pullback_tpu.utils.datasets import NoiseDataset
 from diffusion_pullback_tpu.utils.logging import JSONLLogger
 
 
+pytestmark = pytest.mark.slow  # heavy e2e/oracle/mesh (make test-all)
+
+
 @pytest.fixture()
 def driver(tmp_path):
     cfg = UncondExperimentConfig(

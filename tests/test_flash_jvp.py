@@ -18,6 +18,9 @@ from diffusion_pullback_tpu.ops.pallas.flash_attention import (
 )
 
 
+pytestmark = pytest.mark.slow  # heavy e2e/oracle/mesh (make test-all)
+
+
 def _qkv(sq=1024, sk=1024, h=2, d=64, keys=(0, 1, 2)):
     mk = lambda i, s: jax.random.normal(jax.random.key(i), (1, s, h, d))
     return mk(keys[0], sq), mk(keys[1], sk), mk(keys[2], sk)

@@ -18,6 +18,9 @@ from diffusion_pullback_tpu.parallel import (
 from diffusion_pullback_tpu.training import create_train_state, make_train_step
 
 
+pytestmark = pytest.mark.slow  # heavy e2e/oracle/mesh (make test-all)
+
+
 def test_mesh_shape_for():
     assert mesh_shape_for(8, ("dp",)) == {"dp": 8}
     s = mesh_shape_for(8, ("dp", "probe"))

@@ -68,6 +68,7 @@ def test_jittable(mlp):
     assert int(res.iterations) >= 10
 
 
+@pytest.mark.slow
 def test_unet_encoder_pullback_top_subspace():
     """Top-3 pullback directions of a tiny U-Net mid-block encoder vs the
     explicitly assembled Jacobian."""

@@ -10,6 +10,10 @@ import numpy as np
 
 from diffusion_pullback_tpu.geometry import local_pullback
 from diffusion_pullback_tpu.models import TapPoint, UNet2D, ddpm_tiny
+import pytest
+
+
+pytestmark = pytest.mark.slow  # heavy e2e/oracle/mesh (make test-all)
 
 
 def test_bf16_pullback_matches_f32_top_direction():

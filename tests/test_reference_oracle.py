@@ -46,6 +46,9 @@ from diffusion_pullback_tpu.models.convert import (  # noqa: E402
 REFERENCE_UTILS = pathlib.Path("/root/reference/src/utils/utils.py")
 
 
+pytestmark = pytest.mark.slow  # heavy e2e/oracle/mesh (make test-all)
+
+
 def _load_reference_pullback():
     """Extract the reference's module-level `local_encoder_pullback_xt`
     function (utils.py:165-249) without importing the module (its top-level

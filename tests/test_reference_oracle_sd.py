@@ -44,6 +44,9 @@ from diffusion_pullback_tpu.models.convert import (  # noqa: E402
 REFERENCE_UTILS = pathlib.Path("/root/reference/src/utils/utils.py")
 
 
+pytestmark = pytest.mark.slow  # heavy e2e/oracle/mesh (make test-all)
+
+
 def _load_reference_pullback_zt():
     from einops import einsum
 
@@ -140,15 +143,15 @@ class TorchTinyCondEncoder:
         h = self._gn(f"{name}.norm", x, 1e-6)  # Transformer2D GN eps
         tok = h.permute(0, 2, 3, 1).reshape(b, hh * ww, c)
         tok = self._linear(f"{name}.proj_in", tok)
-        blk = f"{name}.transformer_blocks_0"
+        blk = f"{name}.transformer_blocks.0"
         tok = tok + self._mha(f"{blk}.attn1", self._ln(f"{blk}.norm1", tok),
                               self._ln(f"{blk}.norm1", tok))
         tok = tok + self._mha(f"{blk}.attn2", self._ln(f"{blk}.norm2", tok),
                               ctx)
         ff_in = self._ln(f"{blk}.norm3", tok)
-        proj = self._linear(f"{blk}.ff.net_0.proj", ff_in)
+        proj = self._linear(f"{blk}.ff.net.0.proj", ff_in)
         a, gate = proj.chunk(2, dim=-1)
-        tok = tok + self._linear(f"{blk}.ff.net_2",
+        tok = tok + self._linear(f"{blk}.ff.net.2",
                                  a * F.gelu(gate, approximate="none"))
         tok = self._linear(f"{name}.proj_out", tok)
         return residual + tok.reshape(b, hh, ww, c).permute(0, 3, 1, 2)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from diffusion_pullback_tpu.models import TapPoint, UNet2D, ddpm_tiny
 from diffusion_pullback_tpu.ops import (
@@ -41,7 +42,9 @@ def test_invert_scan_matches_manual_loop():
     inv = ddim_timestep_grid(n, inversion=True)
     xT = jax.jit(lambda x: ddim_invert(eps_fn, x, sched, inv))(x0)
     x = x0
-    for i in range(inv.num_steps):
+    # the reference inversion loop breaks before its final entry
+    # (edit.py:153-154) — ddim_invert scans n−2 of the n−1 grid pairs
+    for i in range(inv.num_steps - 1):
         t, tn = inv.timesteps[i], inv.timesteps_next[i]
         et = eps_fn(x, t)
         x = ddim_step(et, x, alpha_bar(sched, t), alpha_bar(sched, tn)).prev_sample
@@ -146,6 +149,7 @@ def test_deepcache_reuse_runs_and_approximates():
     assert 0 < d < float(jnp.abs(ref).max())
 
 
+@pytest.mark.slow
 def test_deepcache_cond_interval1_exact_and_interval3_runs():
     """SD-family encoder-reuse sampler: interval=1 matches the exact full
     forward; interval=3 runs and stays close (deep features drift slowly)."""
@@ -181,4 +185,52 @@ def test_deepcache_cond_interval1_exact_and_interval3_runs():
         model, params, z, ctx, sched, grid, interval=3
     )
     assert dc3.shape == exact.shape
+    assert np.isfinite(np.asarray(dc3)).all()
+
+
+@pytest.mark.slow
+def test_deepcache_cond_cfg_interval1_matches_eps_with_math():
+    """CFG inside the DeepCache sampler: interval=1 with (neg, cond) fused
+    rows reproduces the plain CFG extrapolation e_un + s*(e_c - e_un)."""
+    import dataclasses
+
+    from diffusion_pullback_tpu.models import UNet2DCondition, sd_tiny_unet
+    from diffusion_pullback_tpu.samplers.deepcache import (
+        ddim_forward_deepcache_cond,
+    )
+    from diffusion_pullback_tpu.samplers.ddim_loop import ddim_forward
+
+    cfg = dataclasses.replace(sd_tiny_unet(8), cross_attention_dim=16)
+    model = UNet2DCondition(cfg)
+    z = jax.random.normal(jax.random.key(0), (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.key(1), (1, 5, 16))
+    neg = jax.random.normal(jax.random.key(3), (1, 5, 16))
+    params = model.init(jax.random.key(2), z, jnp.float32(0.0), ctx)
+    sched = DiffusionSchedule.scaled_linear()
+    grid = ddim_timestep_grid(6)
+    scale = 3.0
+
+    def eps_cfg(q, t):
+        b = q.shape[0]
+        zz = jnp.concatenate([q, q], axis=0)
+        cc = jnp.concatenate([
+            jnp.broadcast_to(neg, (b,) + neg.shape[1:]),
+            jnp.broadcast_to(ctx, (b,) + ctx.shape[1:]),
+        ], axis=0)
+        eps = model.apply(params, zz, t, cc)
+        e_un, e_c = jnp.split(eps, 2, axis=0)
+        return e_un + scale * (e_c - e_un)
+
+    exact = ddim_forward(eps_cfg, z, sched, grid)
+    dc1 = ddim_forward_deepcache_cond(
+        model, params, z, ctx, sched, grid, interval=1,
+        neg_context=neg, guidance_scale=scale,
+    )
+    np.testing.assert_allclose(np.asarray(dc1), np.asarray(exact),
+                               rtol=1e-4, atol=1e-5)
+    # interval=3 with CFG runs and stays finite
+    dc3 = jax.jit(lambda: ddim_forward_deepcache_cond(
+        model, params, z, ctx, sched, grid, interval=3,
+        neg_context=neg, guidance_scale=scale,
+    ))()
     assert np.isfinite(np.asarray(dc3)).all()

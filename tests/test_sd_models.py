@@ -51,6 +51,7 @@ def test_cond_encode_decode_composes(sd_tiny, tap):
     np.testing.assert_array_equal(np.asarray(full), np.asarray(back))
 
 
+@pytest.mark.slow
 def test_cond_probe_batch_broadcasts_context(sd_tiny):
     model, params, x, t, ctx = sd_tiny
     tap = TapPoint("mid", 0)
@@ -65,6 +66,7 @@ def test_cond_probe_batch_broadcasts_context(sd_tiny):
     np.testing.assert_array_equal(np.asarray(eps[0]), np.asarray(eps[1]))
 
 
+@pytest.mark.slow
 def test_cond_encode_jvp(sd_tiny):
     """The pullback requirement: linearize through the conditioned encoder."""
     model, params, x, t, ctx = sd_tiny

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from diffusion_pullback_tpu.ops import DiffusionSchedule
 from diffusion_pullback_tpu.training.losses import (
@@ -105,6 +106,7 @@ def test_ring_buffer_update():
     assert int(state.counts[1]) == 2
 
 
+@pytest.mark.slow
 def test_hybrid_objective_and_loss_aware_step():
     import optax
 
@@ -132,6 +134,7 @@ def test_hybrid_objective_and_loss_aware_step():
     assert int(sampler.counts.sum()) == 4  # history recorded
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_via_multisteps():
     """Microbatching (vendored TrainLoop's forward_backward loop) is
     optax.MultiSteps composed with the same train step: k sub-batches
