@@ -89,6 +89,12 @@ class SDExperimentConfig:
     # between. 0/1 = exact full model every step. Cuts the SDXL-1024 CLI
     # edit tail (16 guidance micro-steps + 100-step finish ×4 directions).
     edit_deepcache_interval: int = 0
+    # vmap the (pc, ±) direction axis of the edit tail (one fused program,
+    # batch = directions × vis frames). At SDXL-1024 scale that batch OOMs
+    # one chip (measured r3: RESOURCE_EXHAUSTED at 4×5 frames), so the SDXL
+    # builder sets False → lax.map runs directions sequentially with the
+    # same jitted body
+    edit_vmap_directions: bool = True
     result_folder: str = "./runs/sd"
     obs_folder: str = "./runs/sd/obs"
     basis_folder: str = "./inputs/local_encoder_pullback_stable_diffusion"
@@ -616,16 +622,56 @@ class EditStableDiffusion(DriverCommonMixin):
                 sel = preserve_norm(sel, z_start)
             return self._finish_forward(p, sel, fe, ne)
 
-        run_all = self._jitted(
-            f"sd_edit_batch_{len(todo)}_{stride}"
-            f"_dc{cfg.edit_deepcache_interval}",
-            lambda p, ee, fe, ne, z_start, vs: jax.vmap(
-                lambda vk: edit_one(p, ee, fe, ne, z_start, vk)
-            )(vs),
-        )
         t0 = time.perf_counter()
-        z0s = run_all(self.unet_params, self.edit_prompt_emb,
-                      self.for_prompt_emb, self.neg_prompt_emb, zt, vk_batch)
+        if cfg.loop_impl == "host":
+            # SDXL-scale memory/runtime mode: one short jitted program for
+            # the guidance walk per direction, then the finish dispatched
+            # per step (fused ≳40-step 1024px programs fail on one chip —
+            # measured r3: device UNAVAILABLE/RESOURCE_EXHAUSTED)
+            def guide_one(p, ee, z_start, vk):
+                edit_eps = self.eps_with(p, ee)
+                traj = x_space_guidance_scan(
+                    edit_eps, z_start, t_edit, vk[None],
+                    num_steps=cfg.x_space_guidance_num_step,
+                    edit_step=cfg.x_space_guidance_edit_step,
+                    scale=cfg.x_space_guidance_scale,
+                )
+                sel = traj[::stride, 0]
+                from ..samplers.regularizers import (
+                    dynamic_thresholding, preserve_contrast, preserve_norm,
+                )
+
+                if cfg.use_dynamic_thresholding:
+                    sel = dynamic_thresholding(sel, cfg.dynamic_thresholding_q)
+                if cfg.use_preserve_contrast:
+                    sel = preserve_contrast(sel, z_start)
+                if cfg.use_preserve_norm:
+                    sel = preserve_norm(sel, z_start)
+                return sel
+
+            guide = self._jitted(f"sd_guidance_scan_{stride}", guide_one)
+            z0s = []
+            for j in range(len(todo)):
+                sel = guide(self.unet_params, self.edit_prompt_emb, zt,
+                            vk_batch[j])
+                z0s.append(self._finish_forward_host(sel))
+            z0s = jnp.stack(z0s)
+        else:
+            if cfg.edit_vmap_directions:
+                mapper = lambda f, vs: jax.vmap(f)(vs)
+            else:
+                mapper = lambda f, vs: jax.lax.map(f, vs)
+            run_all = self._jitted(
+                f"sd_edit_batch_{len(todo)}_{stride}"
+                f"_dc{cfg.edit_deepcache_interval}"
+                f"_vm{cfg.edit_vmap_directions}",
+                lambda p, ee, fe, ne, z_start, vs: mapper(
+                    lambda vk: edit_one(p, ee, fe, ne, z_start, vk), vs
+                ),
+            )
+            z0s = run_all(self.unet_params, self.edit_prompt_emb,
+                          self.for_prompt_emb, self.neg_prompt_emb, zt,
+                          vk_batch)
         z0s.block_until_ready()
         self.log.log(
             "sd_x_space_guidance_edit",
@@ -639,6 +685,66 @@ class EditStableDiffusion(DriverCommonMixin):
                 imgs, os.path.join(cfg.result_folder, names[i] + ".png")
             )
         return names
+
+    def _shallow_encode(self, p, z, t, prompt_emb):
+        """conv_in + first down block (DeepCache's cheap per-step slice)."""
+        return self.unet.apply(
+            p, z, t, prompt_emb, method=UNet2DCondition.shallow_encode
+        )
+
+    def _tap_decode_from(self, p, h, state, tap):
+        return self.unet.apply(
+            p, h, state, tap, method=UNet2DCondition.decode_with_state
+        )
+
+    def _finish_forward_host(self, sel):
+        """Host-dispatched finish for the edit tail: one compiled STEP
+        program re-dispatched per timestep — SDXL-1024 fused multi-step
+        finish programs fail on one chip (r3 measured: UNAVAILABLE /
+        RESOURCE_EXHAUSTED past ~40 fused steps), and per-step dispatch
+        costs only ms. With ``edit_deepcache_interval`` > 1, two step
+        programs alternate: a full refresh (encode to the ('up', n-2) tap +
+        decode) every N steps and a shallow-reuse step in between. CFG > 1
+        falls back to the plain (eps_with) host steps."""
+        from ..ops.ddim import ddim_step
+        from ..ops.schedule import alpha_bar
+
+        cfg = self.cfg
+        itv = cfg.edit_deepcache_interval
+        cfg_on = cfg.guidance_scale > 1.0
+        if itv <= 1 or cfg_on:
+            if itv > 1 and cfg_on:
+                self.log.log("deepcache_host_cfg_fallback")
+            return self.DDIMforwardsteps(sel, self.edit_t_idx)
+
+        n_up = len(self.unet.config.up_block_types)
+        tap = TapPoint("up", n_up - 2)
+
+        def full_step(p, emb, z, t, tn):
+            h, state = self._tap_encode_with_state(p, z, t, emb, tap)
+            eps = self._tap_decode_from(p, h, state, tap)
+            out = ddim_step(eps, z, alpha_bar(self.schedule, t),
+                            alpha_bar(self.schedule, tn))
+            return out.prev_sample, h
+
+        def reuse_step(p, emb, z, h, t, tn):
+            shallow = self._shallow_encode(p, z, t, emb)
+            eps = self._tap_decode_from(p, h, shallow, tap)
+            out = ddim_step(eps, z, alpha_bar(self.schedule, t),
+                            alpha_bar(self.schedule, tn))
+            return out.prev_sample
+
+        full = self._jitted(f"dc_host_full_{sel.shape[0]}", full_step)
+        reuse = self._jitted(f"dc_host_reuse_{sel.shape[0]}", reuse_step)
+        z, h = sel, None
+        ts = self.fwd_grid.timesteps[self.edit_t_idx:]
+        tns = self.fwd_grid.timesteps_next[self.edit_t_idx:]
+        for i, (t, tn) in enumerate(zip(ts, tns)):
+            if i % itv == 0:
+                z, h = full(self.unet_params, self.for_prompt_emb, z, t, tn)
+            else:
+                z = reuse(self.unet_params, self.for_prompt_emb, z, h, t, tn)
+        return z
 
     def _finish_forward(self, p, sel, for_emb, neg_emb):
         """Finish sampling of the edit tail (edit_t → 0, reference

@@ -117,6 +117,14 @@ class EditStableDiffusionXL(EditStableDiffusion):
             method=UNet2DCondition.encode_with_state,
         )
 
+    def _shallow_encode(self, p, z, t, prompt_emb):
+        ctx, pooled = prompt_emb
+        return self.unet.apply(
+            p, z, t, jnp.broadcast_to(ctx, (z.shape[0],) + ctx.shape[1:]),
+            added_cond=self._added(pooled, z.shape[0]),
+            method=UNet2DCondition.shallow_encode,
+        )
+
     def _finish_forward(self, p, sel, for_emb, neg_emb):
         """SDXL flavour of the edit-tail finish: unpack the (context,
         pooled) pytrees and feed the addition-embeds path; DeepCache when

@@ -1,4 +1,10 @@
-from .ddim_loop import ddim_scan, ddim_invert, ddim_forward, performance_boost_etas
+from .ddim_loop import (
+    ddim_scan,
+    ddim_invert,
+    ddim_forward,
+    ddpm_forward,
+    performance_boost_etas,
+)
 from .guidance import (
     classifier_grad_fn,
     condition_eps,
@@ -11,6 +17,7 @@ __all__ = [
     "ddim_scan",
     "ddim_invert",
     "ddim_forward",
+    "ddpm_forward",
     "performance_boost_etas",
     "x_space_guidance_scan",
     "classifier_grad_fn",

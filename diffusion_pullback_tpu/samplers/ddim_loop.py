@@ -171,3 +171,75 @@ def ddim_loop_host(
     for t, tn in zip(timesteps, timesteps_next):
         x = step_fn(x, t, tn)
     return x
+
+
+def ddpm_forward(
+    model_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    x: jax.Array,
+    schedule: DiffusionSchedule,
+    key: jax.Array,
+    timesteps: Optional[jax.Array] = None,
+    learn_sigma: bool = False,
+    cond_fn=None,
+) -> jax.Array:
+    """Ancestral DDPM sampling loop (the vendored GaussianDiffusion
+    p_sample_loop, /root/reference/src/models/guided_diffusion/
+    gaussian_diffusion.py:397-482) as one `lax.scan`.
+
+    - fixed small variance (β̃ posterior, ModelVarType.FIXED_SMALL) when
+      ``learn_sigma`` is False; with True, ``model_fn`` returns [ε, logvar]
+      stacked on channels and the model variance is used (the ADM
+      LEARNED_RANGE output is already a log-variance — split upstream).
+    - ``cond_fn`` applies the Sohl-Dickstein conditioning strategy
+      (condition_mean, gaussian_diffusion.py:356-369): μ ← μ + Σ·∇ log p(y|x).
+    - noise is masked at t == 0 (the reference's nonzero_mask).
+    - ``timesteps``: descending int steps (default full T−1…0); pass the
+      retained steps of `space_timesteps` for respaced sampling — β̃ and the
+      mean coefficient are then computed from the RESPACED β
+      (1 − ᾱ_t/ᾱ_prev), matching SpacedDiffusion exactly.
+    """
+    from ..ops.ddim import predict_x0, split_learned_sigma
+    from ..ops.schedule import alpha_bar
+    from ..samplers.guidance import condition_mean
+
+    if timesteps is None:
+        timesteps = jnp.arange(schedule.num_train_timesteps - 1, -1, -1,
+                               dtype=jnp.float32)
+    timesteps = jnp.asarray(timesteps, jnp.float32)
+    # previous retained step (ᾱ_prev = 1 at the final step, reference
+    # q_posterior semantics via alphas_cumprod_prev)
+    t_prev = jnp.concatenate([timesteps[1:], jnp.full((1,), -1.0)])
+
+    def body(carry, inp):
+        xt, k = carry
+        t, tp = inp
+        ab_t = alpha_bar(schedule, t)
+        ab_prev = jnp.where(tp < 0, 1.0, alpha_bar(schedule, tp))
+        beta_t = 1.0 - ab_t / ab_prev            # respaced-exact β
+        out = model_fn(xt, t)
+        if learn_sigma:
+            et, logvar = split_learned_sigma(out)
+            variance = jnp.exp(logvar)
+        else:
+            et = out
+            tilde = (1.0 - ab_prev) / (1.0 - ab_t) * beta_t
+            variance = jnp.broadcast_to(jnp.maximum(tilde, 1e-20), xt.shape)
+            logvar = jnp.log(variance)
+        # posterior mean in ε form (gaussian_diffusion q_posterior through
+        # _predict_xstart_from_eps)
+        x0 = jnp.clip(predict_x0(et, xt, ab_t), -1.0, 1.0)
+        coef1 = beta_t * jnp.sqrt(ab_prev) / (1.0 - ab_t)
+        coef2 = (1.0 - ab_prev) * jnp.sqrt(1.0 - beta_t) / (1.0 - ab_t)
+        mean = coef1 * x0 + coef2 * xt
+        if cond_fn is not None:
+            mean = condition_mean(mean, variance, cond_fn(xt, t))
+        k, sub = jax.random.split(k)
+        noise = jax.random.normal(sub, xt.shape, xt.dtype)
+        # the final grid transition (no previous retained step) is the
+        # deterministic t→x0 step — the reference's nonzero_mask at index 0
+        nonzero = (tp >= 0).astype(xt.dtype)
+        x_next = mean + nonzero * jnp.exp(0.5 * logvar) * noise
+        return (x_next, k), None
+
+    (x0_final, _), _ = jax.lax.scan(body, (x, key), (timesteps, t_prev))
+    return x0_final

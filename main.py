@@ -451,6 +451,9 @@ def build_sdxl(args, mesh=None):
         use_preserve_contrast=args.use_preserve_contrast,
         use_preserve_norm=args.use_preserve_norm,
         edit_deepcache_interval=args.edit_deepcache_interval,
+        # sequential directions: the fused direction-vmapped finish OOMs one
+        # chip at 1024px (see SDExperimentConfig.edit_vmap_directions)
+        edit_vmap_directions=False,
         # r<=2 probes fit one chip un-chunked (measured: 12.35 s vs
         # 15.85 s chunked for the 50-iter 1024px mid pullback); larger
         # probe blocks serialize through lax.map to bound HBM

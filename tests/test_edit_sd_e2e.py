@@ -254,3 +254,75 @@ def test_local_pca_text(sd_driver):
     assert (np.asarray(s)[:-1] >= np.asarray(s)[1:]).all()  # descending
     # idempotent
     assert sd_driver.run_local_pca_text(idx=0, pca_rank=2, num_samples=32) == p
+
+
+def test_sequential_directions_match_vmapped(sd_driver, tmp_path):
+    """edit_vmap_directions=False (the SDXL one-chip memory mode) produces
+    the same edited images as the vmapped tail."""
+    import dataclasses
+
+    from diffusion_pullback_tpu.experiments import EditStableDiffusion
+
+    def clone(vmapped, tag):
+        cfg = dataclasses.replace(
+            sd_driver.cfg, edit_vmap_directions=vmapped,
+            result_folder=str(tmp_path / f"r_{tag}"),
+            basis_folder=str(tmp_path / f"i_{tag}"),
+        )
+        return EditStableDiffusion(
+            sd_driver.unet, sd_driver.unet_params, sd_driver.vae,
+            sd_driver.vae_params, sd_driver.text_model, sd_driver.text_params,
+            sd_driver.schedule, sd_driver.dataset, cfg,
+            tokenizer=sd_driver.tokenizer, logger=sd_driver.log,
+        )
+
+    zt = jax.random.normal(jax.random.key(3), (1, 8, 8, 4))
+    vks = [jax.random.normal(jax.random.key(4), (8, 8, 4)),
+           -jax.random.normal(jax.random.key(4), (8, 8, 4))]
+    a = clone(True, "v")
+    b = clone(False, "s")
+    na = a._edit_along_directions(zt, vks, ["d0", "d1"], vis_num=2)
+    nb = b._edit_along_directions(zt, vks, ["d0", "d1"], vis_num=2)
+    import numpy as _np
+    from PIL import Image
+
+    for n in na:
+        ia = _np.asarray(Image.open(os.path.join(a.cfg.result_folder, n + ".png")))
+        ib = _np.asarray(Image.open(os.path.join(b.cfg.result_folder, n + ".png")))
+        _np.testing.assert_allclose(ia.astype(_np.int16), ib.astype(_np.int16),
+                                    atol=1)
+
+
+def test_host_deepcache_finish_matches_scan(sd_driver):
+    """_finish_forward_host (per-step dispatch, the SDXL one-chip mode)
+    equals the fused DeepCache scan at the same interval."""
+    zt = jax.random.normal(jax.random.key(9), (2, 8, 8, 4))
+    p = sd_driver.unet_params
+    fe, ne = sd_driver.for_prompt_emb, sd_driver.neg_prompt_emb
+
+    sd_driver.cfg.edit_deepcache_interval = 3
+    fused = sd_driver._finish_forward(p, zt, fe, ne)
+    hosted = sd_driver._finish_forward_host(zt)
+    np.testing.assert_allclose(np.asarray(hosted), np.asarray(fused),
+                               rtol=2e-4, atol=1e-5)
+    # interval<=1 host path = plain DDIMforwardsteps
+    sd_driver.cfg.edit_deepcache_interval = 0
+    plain = sd_driver._finish_forward(p, zt, fe, ne)
+    hosted0 = sd_driver._finish_forward_host(zt)
+    np.testing.assert_allclose(np.asarray(hosted0), np.asarray(plain),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_host_edit_tail_end_to_end(sd_driver):
+    """Full edit experiment with loop_impl='host' (guidance program +
+    per-step finish) writes the same PNG set."""
+    sd_driver.cfg.loop_impl = "host"
+    sd_driver.cfg.edit_deepcache_interval = 3
+    sd_driver._jit_cache.clear()
+    names = sd_driver.run_edit_local_encoder_pullback_zt(idx=1)
+    for n in names:
+        assert os.path.exists(
+            os.path.join(sd_driver.cfg.result_folder, n + ".png")
+        ), n
+    sd_driver.cfg.loop_impl = "scan"
+    sd_driver.cfg.edit_deepcache_interval = 0

@@ -238,3 +238,63 @@ def test_guided_ddim_forward_runs_with_classifier():
     # guidance changes the trajectory
     plain = jax.jit(lambda z: ddim_forward(eps_fn, z, sched, grid))(xT)
     assert not np.allclose(np.asarray(out), np.asarray(plain))
+
+
+def test_ddpm_forward_matches_reference_spaced_p_sample_chain():
+    """A guided 2-step ancestral chain over retained steps {699, 700} ==
+    the reference's SpacedDiffusion p_sample chain with condition_mean
+    (FIXED_SMALL, clip_denoised=True), same noise injected — exercises the
+    respaced β remap, the posterior mean/variance, the x̂₀ clipping, the
+    guidance shift, and the t==0 noise mask in one oracle."""
+    from diffusion_pullback_tpu.samplers import ddpm_forward
+
+    gd, respace = _ref_guided_diffusion()
+    betas = gd.get_named_beta_schedule("linear", 1000)
+    sched = DiffusionSchedule.from_betas(betas)
+    spaced = respace.SpacedDiffusion(
+        use_timesteps={699, 700},
+        betas=betas,
+        model_mean_type=gd.ModelMeanType.EPSILON,
+        model_var_type=gd.ModelVarType.FIXED_SMALL,
+        loss_type=gd.LossType.MSE,
+    )
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, 3, 8, 8)).astype(np.float32)
+    eps_const = 0.1 * rng.normal(size=x.shape).astype(np.float32)
+    grad = 0.05 * rng.normal(size=x.shape).astype(np.float32)
+    noise = rng.normal(size=x.shape).astype(np.float32)
+
+    class M:  # constant-ε torch model (wrapped by SpacedDiffusion)
+        def __call__(self, xx, tt):
+            return torch.as_tensor(eps_const)
+
+    real_randn_like = torch.randn_like
+    torch.randn_like = lambda a, **kw: torch.as_tensor(noise)
+    try:
+        cur = torch.as_tensor(x)
+        for idx in (1, 0):  # spaced indices: 1 ↦ t=700, 0 ↦ t=699
+            cur = spaced.p_sample(
+                M(), cur, torch.as_tensor([idx, idx]),
+                clip_denoised=True,
+                cond_fn=lambda xx, tt, **kw: torch.as_tensor(grad),
+                model_kwargs={},
+            )["sample"]
+        ref = cur.numpy()
+    finally:
+        torch.randn_like = real_randn_like
+
+    import unittest.mock as mock
+
+    with mock.patch("jax.random.normal",
+                    lambda k, shape, dtype=jnp.float32:
+                    jnp.asarray(noise.transpose(0, 2, 3, 1), dtype)):
+        ours = ddpm_forward(
+            lambda z, t: jnp.asarray(
+                eps_const.transpose(0, 2, 3, 1)),  # NHWC model
+            jnp.asarray(x.transpose(0, 2, 3, 1)), sched, jax.random.key(0),
+            timesteps=jnp.asarray([700.0, 699.0]),
+            cond_fn=lambda z, t: jnp.asarray(grad.transpose(0, 2, 3, 1)),
+        )
+    np.testing.assert_allclose(
+        np.asarray(ours), ref.transpose(0, 2, 3, 1), rtol=2e-4, atol=2e-5
+    )
