@@ -766,24 +766,96 @@ class EditUncondDiffusion(DriverCommonMixin):
         )
 
     def _harvest_bases(self, sample_indices, op, block_idx, pca_rank):
-        """Pullback bases (cached) for a set of samples at edit_t."""
+        """Pullback bases (cached) for a set of samples at edit_t. With a
+        'dp' mesh axis the missing samples run as ONE jitted program
+        (inversion + partial forward + pullback per instance) with the
+        sample axis sharded across devices — the multi-sample half of the
+        sweep parallelism (the prompt half lives in the SD driver);
+        single-device falls back to the serial per-sample loop."""
         cfg = self.cfg
         tap = TapPoint(op, block_idx)
+        names = {idx: basis_name(cfg.dataset_name, idx, cfg.edit_t, op,
+                                 block_idx, cfg.seed)
+                 for idx in sample_indices}
         out = {}
+        missing = []
         for idx in sample_indices:
-            name = basis_name(cfg.dataset_name, idx, cfg.edit_t, op,
-                              block_idx, cfg.seed)
-            cached = self.cache.load(name)
+            cached = self.cache.load(names[idx])
             if cached is None:
-                xT = self.run_ddim_inversion(idx)
-                xt = self.forward_to_edit_t(xT)
-                res = self.compute_local_basis(
-                    xt, self.fwd_grid.timesteps[self.edit_t_idx], tap, pca_rank
-                )
-                self.cache.save(name, res.u, res.s, res.vT)
-                out[idx] = (res.u, res.s, res.vT)
+                missing.append(idx)
             else:
                 out[idx] = tuple(map(jnp.asarray, cached))
+
+        mesh = cfg.mesh
+        dp = 0
+        if mesh is not None and "dp" in mesh.axis_names \
+                and mesh.shape["dp"] > 1 and len(missing) > 1:
+            dp = mesh.shape["dp"]
+        if dp:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ..samplers.ddim_loop import ddim_invert
+
+            pad = (-len(missing)) % dp
+            xs = jnp.concatenate(
+                [jnp.asarray(self.dataset[i]) for i in missing]
+                + [jnp.asarray(self.dataset[missing[-1]])] * pad
+            )                                           # (M+pad, H, W, C)
+            # same probe seed for every sample — the serial path passes
+            # jax.random.key(seed) to each compute_local_basis, so parity
+            # requires identical inits
+            keys = jnp.broadcast_to(
+                jax.random.key(cfg.seed), (xs.shape[0],)
+            )
+
+            def sweep(p, xb, ks):
+                con = lambda a: jax.lax.with_sharding_constraint(
+                    a, NamedSharding(mesh, PartitionSpec("dp")))
+                xb, ks = con(xb), con(ks)
+
+                def one(x1, kk):
+                    eps = self._eps_with(p)
+                    xT = ddim_invert(eps, x1[None], self.schedule,
+                                     self.inv_grid)
+                    xt = ddim_forward(eps, xT, self.schedule, self.fwd_grid,
+                                      end_idx=self.edit_t_idx)
+                    return local_pullback(
+                        lambda zz: self.model.apply(
+                            p, zz, self.fwd_grid.timesteps[self.edit_t_idx],
+                            tap, method=type(self.model).encode),
+                        xt, kk, pca_rank=pca_rank,
+                        min_iter=cfg.pullback_min_iter,
+                        max_iter=cfg.pullback_max_iter,
+                        atol=cfg.pullback_atol,
+                        chunk_size=cfg.pullback_chunk_size,
+                    )
+
+                return jax.vmap(one)(xb, ks)
+
+            run = self._jitted(
+                f"sample_harvest_{tap}_{pca_rank}_{len(missing) + pad}"
+                f"_dp{dp}", sweep,
+            )
+            t0 = time.perf_counter()
+            res = run(self.params, xs, keys)
+            jax.block_until_ready(res)
+            self.log.log("sample_harvest_dp", num_samples=len(missing),
+                         dp=dp, pad=pad,
+                         seconds=time.perf_counter() - t0)
+            for j, idx in enumerate(missing):
+                triplet = (res.u[j], res.s[j], res.vT[j])
+                self.cache.save(names[idx], *triplet)
+                out[idx] = triplet
+            return out
+
+        for idx in missing:
+            xT = self.run_ddim_inversion(idx)
+            xt = self.forward_to_edit_t(xT)
+            res = self.compute_local_basis(
+                xt, self.fwd_grid.timesteps[self.edit_t_idx], tap, pca_rank
+            )
+            self.cache.save(names[idx], res.u, res.s, res.vT)
+            out[idx] = (res.u, res.s, res.vT)
         return out
 
     def _edit_with_global_h_basis(self, idx, u_mean, op, block_idx,

@@ -118,7 +118,11 @@ def convert_torch_state_dict(
         # the suffix of merged VAE stage names)
         if path and path[-1].endswith(("downsamplers_0", "upsamplers_0")):
             path = path + ("conv",)
-        if path and path[-1].endswith("_embedding") and leaf == "weight":
+        if leaf == "positional_embedding" and arr.ndim == 2:
+            # AttentionPool2d stores (C, S+1); our param is (S+1, C)
+            # (guided_diffusion/unet.py:36-38)
+            flat_out[path + (leaf,)] = arr.T
+        elif path and path[-1].endswith("_embedding") and leaf == "weight":
             # nn.Embed tables keep (vocab, dim) orientation
             flat_out[path + ("embedding",)] = arr
         elif _is_norm_path(path) or (leaf == "weight" and arr.ndim == 1):
@@ -245,7 +249,9 @@ def flax_params_to_torch_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndar
             name_parts += _expand_list_indices(p)
         name_parts = ["time_embedding" if p == "time_mlp" else p for p in name_parts]
         base = ".".join(name_parts)
-        if leaf == "embedding":
+        if leaf == "positional_embedding":
+            out[base + "." + leaf] = arr.T          # back to torch (C, S+1)
+        elif leaf == "embedding":
             out[base + ".weight"] = arr
         elif leaf == "scale":
             out[base + ".weight"] = arr

@@ -142,3 +142,35 @@ def test_adm_conv1d_qkv_weights_convert():
     for path in flat_a:
         np.testing.assert_array_equal(np.asarray(flat_a[path]),
                                       np.asarray(flat_b[path]), err_msg=str(path))
+
+
+def test_encoder_unet_classifier_round_trip():
+    """EncoderUNetADM (the guidance classifier) round-trips, including the
+    AttentionPool2d positional embedding's (C, S+1) torch orientation and
+    its conv1d qkv/c_proj weights."""
+    import numpy as np_
+
+    from diffusion_pullback_tpu.models import EncoderUNetADM, adm_encoder_tiny
+
+    m = EncoderUNetADM(adm_encoder_tiny(16, pool="attention"))
+    params = m.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                    jnp.float32(0.0))
+    sd = flax_params_to_torch_state_dict(params)
+    pe = next(v for k, v in sd.items() if "positional_embedding" in k)
+    c = 16  # tiny config: model_channels 8 × channel_mult[-1] 2
+    assert pe.shape[0] == c and pe.shape[1] > pe.shape[0]  # (C, S+1)
+    # ADM-era conv1d storage for the pool projections
+    sd2 = {}
+    for k, v in sd.items():
+        if (".qkv_proj." in k or ".c_proj." in k) and k.endswith(".weight") \
+                and v.ndim == 2:
+            sd2[k] = np_.asarray(v)[:, :, None]   # (out,in) → conv1d (out,in,1)
+        else:
+            sd2[k] = v
+    back = convert_torch_state_dict(sd2, params)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_b[path]),
+                                      err_msg=str(path))
