@@ -32,7 +32,10 @@ from ..models.unet2d_condition import UNet2DCondition
 from ..models.vae import AutoencoderKL
 from ..ops.schedule import DiffusionSchedule, ddim_timestep_grid
 from ..samplers.ddim_loop import ddim_forward, ddim_invert, make_ddim_step_fn
-from ..samplers.guidance import x_space_guidance_scan
+from ..samplers.guidance import (
+    x_space_guidance_scan,
+    x_space_guidance_scan_deepcache,
+)
 from ..utils.images import save_image_grid
 from ..utils.logging import JSONLLogger
 from ._common import DriverCommonMixin
@@ -89,12 +92,22 @@ class SDExperimentConfig:
     # between. 0/1 = exact full model every step. Cuts the SDXL-1024 CLI
     # edit tail (16 guidance micro-steps + 100-step finish ×4 directions).
     edit_deepcache_interval: int = 0
+    # DeepCache on the x-space-guidance micro-walk itself (the dominant cost
+    # of the with-prompt edit: num_step full 2·B U-Net pairs at ONE fixed
+    # timestep, where deep features drift even more slowly than across
+    # sampling steps). Refresh the deep path every N micro-steps; 0/1 =
+    # exact full pair every micro-step.
+    guidance_deepcache_interval: int = 0
     # vmap the (pc, ±) direction axis of the edit tail (one fused program,
     # batch = directions × vis frames). At SDXL-1024 scale that batch OOMs
     # one chip (measured r3: RESOURCE_EXHAUSTED at 4×5 frames), so the SDXL
     # builder sets False → lax.map runs directions sequentially with the
     # same jitted body
     edit_vmap_directions: bool = True
+    # run_edit_text_driven_direction: 0 = single JᵀΔh direction; k>0 =
+    # decompose Δh in the top-k pullback basis (JᵀΔh ≈ Σ s_k⟨u_k,Δh⟩v_k)
+    # and walk each PC separately, signed toward Δh
+    text_driven_num_pc: int = 0
     result_folder: str = "./runs/sd"
     obs_folder: str = "./runs/sd/obs"
     basis_folder: str = "./inputs/local_encoder_pullback_stable_diffusion"
@@ -485,6 +498,28 @@ class EditStableDiffusion(DriverCommonMixin):
         t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
         shape_hint = tuple(zt.shape[1:])
 
+        u, s, vT = self._cached_local_basis(
+            zt, t_edit, tap, pca_rank, idx, op, block_idx, shape_hint
+        )
+
+        shape = zt.shape[1:]
+        vks, names = [], []
+        for pc in range(vis_num_pc):
+            for sign, tag in ((1.0, "pos"), (-1.0, "neg")):
+                vks.append(sign * vT[pc].reshape(shape))
+                names.append(
+                    f"Edit_zt-{cfg.dataset_name}_{idx}-edit_{cfg.edit_t}T-{op}"
+                    f"-block_{block_idx}-pc_{pc:03d}_{tag}"
+                    f"-edit_prompt_{cfg.edit_prompt}"
+                )
+        return self._edit_along_directions(zt, vks, names, vis_num)
+
+    def _cached_local_basis(self, zt, t_edit, tap, pca_rank, idx, op,
+                            block_idx, shape_hint):
+        """Load-or-compute the (u, s, vT) pullback basis with the
+        reference-keyed cache + analysis artifacts (edit.py:223-263);
+        factors are returned column/row-normalized (edit.py:267-268)."""
+        cfg = self.cfg
         name = basis_name(
             cfg.dataset_name, idx, cfg.edit_t, op, block_idx, cfg.seed,
             edit_prompt=cfg.edit_prompt,
@@ -515,18 +550,7 @@ class EditStableDiffusion(DriverCommonMixin):
 
         u = u / jnp.linalg.norm(u, axis=0, keepdims=True)
         vT = vT / jnp.linalg.norm(vT, axis=1, keepdims=True)
-
-        shape = zt.shape[1:]
-        vks, names = [], []
-        for pc in range(vis_num_pc):
-            for sign, tag in ((1.0, "pos"), (-1.0, "neg")):
-                vks.append(sign * vT[pc].reshape(shape))
-                names.append(
-                    f"Edit_zt-{cfg.dataset_name}_{idx}-edit_{cfg.edit_t}T-{op}"
-                    f"-block_{block_idx}-pc_{pc:03d}_{tag}"
-                    f"-edit_prompt_{cfg.edit_prompt}"
-                )
-        return self._edit_along_directions(zt, vks, names, vis_num)
+        return u, s, vT
 
     def run_edit_text_driven_direction(
         self,
@@ -534,6 +558,7 @@ class EditStableDiffusion(DriverCommonMixin):
         op: str = "mid",
         block_idx: int = 0,
         vis_num: Optional[int] = None,
+        num_pc: Optional[int] = None,
     ):
         """Working spec for the reference's declared-but-never-dispatched
         --run_edit_text_driven_direction flag (define_argparser.py:124; no
@@ -546,16 +571,62 @@ class EditStableDiffusion(DriverCommonMixin):
             v  = Jᵀ Δh / ‖Jᵀ Δh‖        (one VJP — the reference's
                                          inv_jac_zt trick, utils.py:1117-1160)
 
-        then the standard ±v x-space-guidance walks and trajectory finish."""
+        then the standard ±v x-space-guidance walks and trajectory finish.
+
+        With ``num_pc`` = k > 0 (or cfg.text_driven_num_pc) the displacement
+        is instead decomposed in the top-k pullback basis at the tap:
+        JᵀΔh ≈ Σ_k s_k·c_k·v_k with c_k = ⟨u_k, Δh⟩, and each PC is walked
+        separately along sign(c_k)·v_k — "which geometric directions does
+        this prompt move", per component, with the subspace-residual energy
+        logged so off-basis prompts are visible."""
         from ..geometry.pullback import pullback_covector
 
         cfg = self.cfg
         vis_num = vis_num or cfg.vis_num
+        num_pc = cfg.text_driven_num_pc if num_pc is None else num_pc
         tap = TapPoint(op, block_idx)
 
         zT = self.run_DDIMinversion(idx)
         zt = self.DDIMforwardsteps(zT, 0, self.edit_t_idx)
         t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
+        ptag = (cfg.edit_prompt or "none").replace(" ", "_")[:40]
+        shape = zt.shape[1:]
+
+        if num_pc > 0:
+            u, s, vT = self._cached_local_basis(
+                zt, t_edit, tap, num_pc, idx, op, block_idx, tuple(shape)
+            )
+
+            def coeffs(p, ee, ne, z, tt, basis_u):
+                dh = self._tap_encode(p, z, tt, ee, tap) - \
+                    self._tap_encode(p, z, tt, ne, tap)
+                dh = dh.reshape(-1)
+                return basis_u.T @ dh, jnp.vdot(dh, dh)
+
+            run = self._jitted(f"text_direction_pc_{tap}_{num_pc}", coeffs)
+            c, energy = run(self.unet_params, self.edit_prompt_emb,
+                            self.null_prompt_emb, zt, t_edit, u)
+            c = np.asarray(c)
+            captured = float(np.sum(c**2) / max(float(energy), 1e-12))
+            self.log.log(
+                "text_driven_pc_decomposition",
+                coefficients=c.round(5), singular_values=np.asarray(
+                    s[:num_pc]).round(4),
+                subspace_energy_fraction=round(captured, 5),
+            )
+            vks, names = [], []
+            # walk PCs in coefficient-magnitude order — the prompt's
+            # strongest geometric component first
+            for pc in np.argsort(-np.abs(c)):
+                sign = 1.0 if c[pc] >= 0 else -1.0
+                vks.append(sign * vT[pc].reshape(shape))
+                names.append(
+                    f"Edit_text_driven-{cfg.dataset_name}_{idx}"
+                    f"-edit_{cfg.edit_t}T-{op}-block_{block_idx}"
+                    f"-prompt_{ptag}-pc_{int(pc):03d}"
+                    f"_c{c[pc]:+.3f}"
+                )
+            return self._edit_along_directions(zt, vks, names, vis_num)
 
         def direction(p, ee, ne, z, tt):
             dh = self._tap_encode(p, z, tt, ee, tap) - \
@@ -572,17 +643,49 @@ class EditStableDiffusion(DriverCommonMixin):
         jax.block_until_ready(v)
         self.log.log("text_driven_direction", seconds=time.perf_counter() - t0)
 
-        shape = zt.shape[1:]
         vks, names = [], []
         for sign, stag in ((1.0, "pos"), (-1.0, "neg")):
             vks.append(sign * v.reshape(shape))
             names.append(
                 f"Edit_text_driven-{cfg.dataset_name}_{idx}"
                 f"-edit_{cfg.edit_t}T-{op}-block_{block_idx}"
-                f"-prompt_{(cfg.edit_prompt or 'none').replace(' ', '_')[:40]}"
+                f"-prompt_{ptag}"
                 f"_{stag}"
             )
         return self._edit_along_directions(zt, vks, names, vis_num)
+
+    def _guidance_walk(self, p, ee, z_start, vk, t_edit):
+        """x-space-guidance micro-walk (reference edit.py:484-502), fused
+        as one lax.scan. With ``guidance_deepcache_interval`` > 1 the deep
+        U-Net path of the [z; z+δv] pair is cached and refreshed every N
+        micro-steps (exact at interval 1) — built on the same tap hooks as
+        the sampling-time DeepCache, so SDXL inherits it unchanged."""
+        cfg = self.cfg
+        itv = cfg.guidance_deepcache_interval
+        if itv <= 1:
+            return x_space_guidance_scan(
+                self.eps_with(p, ee), z_start, t_edit, vk[None],
+                num_steps=cfg.x_space_guidance_num_step,
+                edit_step=cfg.x_space_guidance_edit_step,
+                scale=cfg.x_space_guidance_scale,
+            )
+        tap = TapPoint("up", len(self.unet.config.up_block_types) - 2)
+
+        def full_fn(pair, t):
+            h, state = self._tap_encode_with_state(p, pair, t, ee, tap)
+            return self._tap_decode_from(p, h, state, tap), h
+
+        def reuse_fn(pair, t, h):
+            shallow = self._shallow_encode(p, pair, t, ee)
+            return self._tap_decode_from(p, h, shallow, tap)
+
+        return x_space_guidance_scan_deepcache(
+            full_fn, reuse_fn, z_start, t_edit, vk[None],
+            num_steps=cfg.x_space_guidance_num_step,
+            edit_step=cfg.x_space_guidance_edit_step,
+            scale=cfg.x_space_guidance_scale,
+            interval=itv,
+        )
 
     def _edit_along_directions(self, zt, vks, names, vis_num):
         """Shared tail of the SD editing experiments: vmapped x-space-guidance
@@ -601,13 +704,7 @@ class EditStableDiffusion(DriverCommonMixin):
         stride = max(1, (cfg.x_space_guidance_num_step + 1) // vis_num)
 
         def edit_one(p, ee, fe, ne, z_start, vk):
-            edit_eps = self.eps_with(p, ee)
-            traj = x_space_guidance_scan(
-                edit_eps, z_start, t_edit, vk[None],
-                num_steps=cfg.x_space_guidance_num_step,
-                edit_step=cfg.x_space_guidance_edit_step,
-                scale=cfg.x_space_guidance_scale,
-            )
+            traj = self._guidance_walk(p, ee, z_start, vk, t_edit)
             sel = traj[::stride, 0]
             # post-edit regularizers (uncond tail applies the same set)
             from ..samplers.regularizers import (
@@ -629,13 +726,7 @@ class EditStableDiffusion(DriverCommonMixin):
             # per step (fused ≳40-step 1024px programs fail on one chip —
             # measured r3: device UNAVAILABLE/RESOURCE_EXHAUSTED)
             def guide_one(p, ee, z_start, vk):
-                edit_eps = self.eps_with(p, ee)
-                traj = x_space_guidance_scan(
-                    edit_eps, z_start, t_edit, vk[None],
-                    num_steps=cfg.x_space_guidance_num_step,
-                    edit_step=cfg.x_space_guidance_edit_step,
-                    scale=cfg.x_space_guidance_scale,
-                )
+                traj = self._guidance_walk(p, ee, z_start, vk, t_edit)
                 sel = traj[::stride, 0]
                 from ..samplers.regularizers import (
                     dynamic_thresholding, preserve_contrast, preserve_norm,
@@ -649,13 +740,37 @@ class EditStableDiffusion(DriverCommonMixin):
                     sel = preserve_norm(sel, z_start)
                 return sel
 
-            guide = self._jitted(f"sd_guidance_scan_{stride}", guide_one)
-            z0s = []
-            for j in range(len(todo)):
-                sel = guide(self.unet_params, self.edit_prompt_emb, zt,
-                            vk_batch[j])
-                z0s.append(self._finish_forward_host(sel))
-            z0s = jnp.stack(z0s)
+            if cfg.edit_vmap_directions and len(todo) > 1:
+                # batch the direction axis: ONE vmapped guidance-scan program
+                # (U-Net batch = directions instead of 1) and ONE host finish
+                # over the flattened (direction × frame) batch — 4× fewer
+                # dispatches and full MXU tiles vs the serial per-direction
+                # loop. SDXL-1024 keeps the serial path (the direction-
+                # batched programs RESOURCE_EXHAUST one chip; main.py sets
+                # edit_vmap_directions=False there).
+                guide = self._jitted(
+                    f"sd_guidance_scan_{stride}_b{len(todo)}"
+                    f"_gdc{cfg.guidance_deepcache_interval}",
+                    jax.vmap(guide_one, in_axes=(None, None, None, 0)),
+                )
+                sels = guide(self.unet_params, self.edit_prompt_emb, zt,
+                             vk_batch)
+                d, v = sels.shape[:2]
+                flat = sels.reshape((d * v,) + sels.shape[2:])
+                z0s = self._finish_forward_host(flat)
+                z0s = z0s.reshape((d, v) + z0s.shape[1:])
+            else:
+                guide = self._jitted(
+                    f"sd_guidance_scan_{stride}"
+                    f"_gdc{cfg.guidance_deepcache_interval}",
+                    guide_one,
+                )
+                z0s = []
+                for j in range(len(todo)):
+                    sel = guide(self.unet_params, self.edit_prompt_emb, zt,
+                                vk_batch[j])
+                    z0s.append(self._finish_forward_host(sel))
+                z0s = jnp.stack(z0s)
         else:
             if cfg.edit_vmap_directions:
                 mapper = lambda f, vs: jax.vmap(f)(vs)
@@ -664,6 +779,7 @@ class EditStableDiffusion(DriverCommonMixin):
             run_all = self._jitted(
                 f"sd_edit_batch_{len(todo)}_{stride}"
                 f"_dc{cfg.edit_deepcache_interval}"
+                f"_gdc{cfg.guidance_deepcache_interval}"
                 f"_vm{cfg.edit_vmap_directions}",
                 lambda p, ee, fe, ne, z_start, vs: mapper(
                     lambda vk: edit_one(p, ee, fe, ne, z_start, vk), vs

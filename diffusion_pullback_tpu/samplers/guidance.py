@@ -57,6 +57,53 @@ def x_space_guidance_scan(
     return jnp.concatenate([z0[None], traj], axis=0)
 
 
+def x_space_guidance_scan_deepcache(
+    full_fn: Callable[[jax.Array, jax.Array], tuple],
+    reuse_fn: Callable[[jax.Array, jax.Array, jax.Array], jax.Array],
+    z0: jax.Array,
+    t: jax.Array,
+    vk: jax.Array,
+    num_steps: int,
+    edit_step: float,
+    scale: float,
+    interval: int,
+) -> jax.Array:
+    """`x_space_guidance_scan` with DeepCache-style encoder reuse on the
+    micro-steps themselves. Every micro-step evaluates ε on the SAME
+    timestep t and the latent moves only by scale·Δε, so the deep U-Net
+    path changes even more slowly than across sampling steps — the cache is
+    refreshed every ``interval`` micro-steps and only the shallow slice +
+    last up block recompute in between. interval=1 ≡ the exact walk.
+
+    ``full_fn(pair, t) -> (eps, h)`` runs the full model and returns the
+    ('up', n-2) tap activation; ``reuse_fn(pair, t, h) -> eps`` resumes from
+    a cached h. Both consume the fused [z; z+δv] pair (2·B rows, reference
+    edit.py:484-502 semantics)."""
+    pair0 = jnp.concatenate([z0, z0], axis=0)
+    h_shape = jax.eval_shape(full_fn, pair0, t)[1]
+
+    def body(carry, i):
+        z, h_cache = carry
+        pair = jnp.concatenate([z, z + edit_step * vk], axis=0)
+
+        def full(_):
+            return full_fn(pair, t)
+
+        def reuse(_):
+            return reuse_fn(pair, t, h_cache), h_cache
+
+        eps, h_new = jax.lax.cond(i % interval == 0, full, reuse, None)
+        et_null, et_edit = jnp.split(eps, 2, axis=0)
+        z_next = z + scale * (et_edit - et_null)
+        return (z_next, h_new), z_next
+
+    (_, _), traj = jax.lax.scan(
+        body, (z0, jnp.zeros(h_shape.shape, h_shape.dtype)),
+        jnp.arange(num_steps),
+    )
+    return jnp.concatenate([z0[None], traj], axis=0)
+
+
 # ---- classifier guidance (ADM family) --------------------------------------
 # Working TPU-native spec of the reference's vendored guided-sampling math
 # (/root/reference/src/models/guided_diffusion/gaussian_diffusion.py:356-392):

@@ -170,6 +170,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DeepCache encoder reuse on the edit-tail finish "
                         "sampling (SD/SDXL): refresh the deep U-Net path "
                         "every N steps; 0/1 = exact full model")
+    p.add_argument("--guidance_deepcache_interval", type=int, default=0,
+                   help="DeepCache encoder reuse on the x-space-guidance "
+                        "micro-walk (SD/SDXL): the walk evaluates the "
+                        "[z; z+dv] pair at ONE fixed timestep, so deep "
+                        "features drift slowly; refresh every N micro-"
+                        "steps; 0/1 = exact full pair each micro-step")
+    p.add_argument("--text_driven_num_pc", type=int, default=0,
+                   help="run_edit_text_driven_direction: 0 = single J^T dh "
+                        "direction; k>0 = decompose dh in the top-k pullback "
+                        "basis and walk each PC separately, signed toward dh")
     p.add_argument("--pca_rank", type=int, default=2)
     p.add_argument("--pullback_chunk_size", type=int, default=0,
                    help="probe-axis chunking for memory-bound configs; 0=off")

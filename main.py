@@ -296,6 +296,8 @@ def build_sd(args, mesh=None):
         use_preserve_contrast=args.use_preserve_contrast,
         use_preserve_norm=args.use_preserve_norm,
         edit_deepcache_interval=args.edit_deepcache_interval,
+        guidance_deepcache_interval=args.guidance_deepcache_interval,
+        text_driven_num_pc=args.text_driven_num_pc,
         pullback_chunk_size=args.pullback_chunk_size or None,
         result_folder=args.result_folder,
         obs_folder=args.obs_folder,
@@ -451,6 +453,8 @@ def build_sdxl(args, mesh=None):
         use_preserve_contrast=args.use_preserve_contrast,
         use_preserve_norm=args.use_preserve_norm,
         edit_deepcache_interval=args.edit_deepcache_interval,
+        guidance_deepcache_interval=args.guidance_deepcache_interval,
+        text_driven_num_pc=args.text_driven_num_pc,
         # sequential directions: the fused direction-vmapped finish OOMs one
         # chip at 1024px (see SDExperimentConfig.edit_vmap_directions)
         edit_vmap_directions=False,

@@ -206,6 +206,43 @@ def test_text_driven_direction(sd_driver):
     assert sd_driver.run_edit_text_driven_direction(idx=0) == names
 
 
+@pytest.mark.slow
+def test_text_driven_direction_multi_pc(sd_driver):
+    """num_pc=2 decomposes Δh in the top-2 pullback basis: one edit per PC,
+    signed toward Δh, named with the projection coefficient; the logged
+    coefficients match an explicit u_kᵀΔh computation."""
+    names = sd_driver.run_edit_text_driven_direction(idx=0, num_pc=2)
+    assert len(names) == 2
+    assert all("-pc_" in n and "_c" in n for n in names)
+    for n in names:
+        assert os.path.exists(
+            os.path.join(sd_driver.cfg.result_folder, n + ".png")
+        ), n
+
+    # explicit oracle: recompute Δh and the basis projection by hand
+    from diffusion_pullback_tpu.experiments.edit_sd import TapPoint
+
+    tap = TapPoint("mid", 0)
+    zT = sd_driver.run_DDIMinversion(0)
+    zt = sd_driver.DDIMforwardsteps(zT, 0, sd_driver.edit_t_idx)
+    t_edit = sd_driver.fwd_grid.timesteps[sd_driver.edit_t_idx]
+    u, s, vT = sd_driver._cached_local_basis(
+        zt, t_edit, tap, 2, 0, "mid", 0, tuple(zt.shape[1:])
+    )
+    dh = (
+        sd_driver._tap_encode(sd_driver.unet_params, zt, t_edit,
+                              sd_driver.edit_prompt_emb, tap)
+        - sd_driver._tap_encode(sd_driver.unet_params, zt, t_edit,
+                                sd_driver.null_prompt_emb, tap)
+    ).reshape(-1)
+    c = np.asarray(u.T @ dh)
+    # names are ordered by |c| descending and carry sign(c)
+    order = np.argsort(-np.abs(c))
+    for rank, pc in enumerate(order):
+        assert f"pc_{int(pc):03d}" in names[rank]
+        assert f"_c{c[pc]:+.3f}" in names[rank]
+
+
 def test_edit_tail_deepcache_interval1_matches_plain(sd_driver):
     """_finish_forward at edit_deepcache_interval=1 is bit-exact with the
     plain finish; interval=3 produces close, finite latents (VERDICT r2
@@ -291,6 +328,72 @@ def test_sequential_directions_match_vmapped(sd_driver, tmp_path):
         ib = _np.asarray(Image.open(os.path.join(b.cfg.result_folder, n + ".png")))
         _np.testing.assert_allclose(ia.astype(_np.int16), ib.astype(_np.int16),
                                     atol=1)
+
+
+def test_host_batched_directions_match_serial(sd_driver, tmp_path):
+    """loop_impl='host' with edit_vmap_directions=True (ONE vmapped
+    guidance-scan program + ONE combined finish batch over the flattened
+    direction × frame axis) writes the same PNGs as the serial
+    per-direction host loop (the SDXL one-chip mode)."""
+    import dataclasses
+
+    from diffusion_pullback_tpu.experiments import EditStableDiffusion
+
+    def clone(vmapped, tag):
+        cfg = dataclasses.replace(
+            sd_driver.cfg, edit_vmap_directions=vmapped, loop_impl="host",
+            edit_deepcache_interval=3,
+            result_folder=str(tmp_path / f"hr_{tag}"),
+            basis_folder=str(tmp_path / f"hi_{tag}"),
+        )
+        return EditStableDiffusion(
+            sd_driver.unet, sd_driver.unet_params, sd_driver.vae,
+            sd_driver.vae_params, sd_driver.text_model, sd_driver.text_params,
+            sd_driver.schedule, sd_driver.dataset, cfg,
+            tokenizer=sd_driver.tokenizer, logger=sd_driver.log,
+        )
+
+    zt = jax.random.normal(jax.random.key(13), (1, 8, 8, 4))
+    vks = [jax.random.normal(jax.random.key(14), (8, 8, 4)),
+           -jax.random.normal(jax.random.key(14), (8, 8, 4))]
+    a = clone(True, "b")
+    b = clone(False, "s")
+    na = a._edit_along_directions(zt, vks, ["d0", "d1"], vis_num=2)
+    nb = b._edit_along_directions(zt, vks, ["d0", "d1"], vis_num=2)
+    assert na == nb
+    import numpy as _np
+    from PIL import Image
+
+    for n in na:
+        ia = _np.asarray(Image.open(os.path.join(a.cfg.result_folder, n + ".png")))
+        ib = _np.asarray(Image.open(os.path.join(b.cfg.result_folder, n + ".png")))
+        _np.testing.assert_allclose(ia.astype(_np.int16), ib.astype(_np.int16),
+                                    atol=1)
+
+
+def test_guidance_deepcache_walk(sd_driver):
+    """x_space_guidance_scan_deepcache: interval=1 is bit-exact with the
+    plain fused walk; interval=3 refreshes on micro-step 0 (so the first
+    trajectory point still matches exactly) and stays finite."""
+    zt = jax.random.normal(jax.random.key(21), (1, 8, 8, 4))
+    vk = jax.random.normal(jax.random.key(22), (8, 8, 4))
+    t_edit = sd_driver.fwd_grid.timesteps[sd_driver.edit_t_idx]
+    p, ee = sd_driver.unet_params, sd_driver.edit_prompt_emb
+
+    sd_driver.cfg.guidance_deepcache_interval = 0
+    plain = sd_driver._guidance_walk(p, ee, zt, vk, t_edit)
+    sd_driver.cfg.guidance_deepcache_interval = 1
+    exact = sd_driver._guidance_walk(p, ee, zt, vk, t_edit)
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(plain),
+                               rtol=2e-4, atol=1e-5)
+    sd_driver.cfg.guidance_deepcache_interval = 3
+    approx = sd_driver._guidance_walk(p, ee, zt, vk, t_edit)
+    assert approx.shape == plain.shape
+    assert np.isfinite(np.asarray(approx)).all()
+    # micro-step 0 is a full refresh → the first step matches exactly
+    np.testing.assert_allclose(np.asarray(approx[1]), np.asarray(plain[1]),
+                               rtol=2e-4, atol=1e-5)
+    sd_driver.cfg.guidance_deepcache_interval = 0
 
 
 def test_host_deepcache_finish_matches_scan(sd_driver):

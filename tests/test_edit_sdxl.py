@@ -161,3 +161,24 @@ def test_xl_edit_tail_deepcache_interval1_matches_plain(xl_driver):
         assert np.isfinite(np.asarray(dc3)).all()
     xl_driver.cfg.edit_deepcache_interval = 0
     xl_driver.cfg.guidance_scale = 0.0
+
+
+def test_xl_guidance_deepcache_walk(xl_driver):
+    """The DeepCache micro-walk routes through the SDXL hook overrides
+    (_tap_encode_with_state/_shallow_encode with added conds): interval=1
+    is exact vs the plain fused walk."""
+    zt = jax.random.normal(jax.random.key(23), (1, 8, 8, 4))
+    vk = jax.random.normal(jax.random.key(24), (8, 8, 4))
+    t_edit = xl_driver.fwd_grid.timesteps[xl_driver.edit_t_idx]
+    p, ee = xl_driver.unet_params, xl_driver.edit_prompt_emb
+
+    xl_driver.cfg.guidance_deepcache_interval = 0
+    plain = xl_driver._guidance_walk(p, ee, zt, vk, t_edit)
+    xl_driver.cfg.guidance_deepcache_interval = 1
+    exact = xl_driver._guidance_walk(p, ee, zt, vk, t_edit)
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(plain),
+                               rtol=2e-4, atol=1e-5)
+    xl_driver.cfg.guidance_deepcache_interval = 3
+    dc3 = xl_driver._guidance_walk(p, ee, zt, vk, t_edit)
+    assert np.isfinite(np.asarray(dc3)).all()
+    xl_driver.cfg.guidance_deepcache_interval = 0
