@@ -39,7 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     # default setting
     p.add_argument("--sh_file_name", type=str, default="")
     p.add_argument("--device", type=str, default="")
-    p.add_argument("--dtype", type=str, default="fp32", help="'fp32'|'bf16'")
+    p.add_argument("--dtype", type=str, default="",
+                   help="'fp32'|'bf16'|'' = auto: bf16 on accelerators "
+                        "(TPU/GPU), fp32 on CPU")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--result_folder", type=str, default="./runs/")
     # model / dataset
@@ -258,6 +260,21 @@ def preset(args):
     if args.use_x_space_guidance:
         family = "stable-diffusion" if args.is_stable_diffusion else "uncond"
         args.x_space_guidance_scale = X_SPACE_GUIDANCE_SCALE_DICT[family][args.h_t]
+
+    # dtype auto-resolution — the TPU-native default is bf16 on
+    # accelerators: the reference pins f32 because fp16 breaks its
+    # jacfwd path (utils.py:322-323), but the bf16 pullback passes the
+    # basis acceptance on-chip (min cos 0.9994 vs f32, r=8×5 @256px) and
+    # SDXL-1024 *requires* bf16 on one chip. CPU stays f32 so golden and
+    # parity tests are bit-stable. An explicit --dtype always wins.
+    if not args.dtype:
+        import jax
+
+        backend = jax.default_backend()
+        args.dtype = "fp32" if backend == "cpu" else "bf16"
+        print(f"[preset] --dtype auto -> {args.dtype} (backend={backend})")
+    if args.dtype not in ("fp32", "bf16"):
+        raise ValueError(f"--dtype must be 'fp32'|'bf16' (got {args.dtype!r})")
 
     # family-derived input geometry (reference :207-219)
     if args.is_sdxl:

@@ -73,3 +73,14 @@ def test_preset_asserts(tmp_path):
 def test_unknown_model_raises(tmp_path):
     with pytest.raises(ValueError, match="model_name choice"):
         preset(parse_args(_base_argv(tmp_path, **{"--model_name": "WAT"})))
+
+
+def test_dtype_auto_resolution(tmp_path):
+    """'' resolves per backend (fp32 on the CPU test platform, bf16 on
+    accelerators); explicit values pass through; junk is rejected."""
+    args = preset(parse_args(_base_argv(tmp_path)))
+    assert args.dtype == "fp32"  # conftest forces the cpu platform
+    args = preset(parse_args(_base_argv(tmp_path, **{"--dtype": "bf16"})))
+    assert args.dtype == "bf16"
+    with pytest.raises(ValueError, match="dtype"):
+        preset(parse_args(_base_argv(tmp_path, **{"--dtype": "f64"})))

@@ -429,3 +429,44 @@ def test_host_edit_tail_end_to_end(sd_driver):
         ), n
     sd_driver.cfg.loop_impl = "scan"
     sd_driver.cfg.edit_deepcache_interval = 0
+
+
+def test_host_batched_directions_with_guidance_deepcache(sd_driver, tmp_path):
+    """The direction-vmapped host tail composes with the micro-walk
+    DeepCache (the lax.cond refresh stays unbatched under the direction
+    vmap): same PNGs as the serial per-direction loop at the same
+    guidance_deepcache_interval."""
+    import dataclasses
+
+    from diffusion_pullback_tpu.experiments import EditStableDiffusion
+
+    def clone(vmapped, tag):
+        cfg = dataclasses.replace(
+            sd_driver.cfg, edit_vmap_directions=vmapped, loop_impl="host",
+            guidance_deepcache_interval=2,
+            result_folder=str(tmp_path / f"gr_{tag}"),
+            basis_folder=str(tmp_path / f"gi_{tag}"),
+        )
+        return EditStableDiffusion(
+            sd_driver.unet, sd_driver.unet_params, sd_driver.vae,
+            sd_driver.vae_params, sd_driver.text_model, sd_driver.text_params,
+            sd_driver.schedule, sd_driver.dataset, cfg,
+            tokenizer=sd_driver.tokenizer, logger=sd_driver.log,
+        )
+
+    zt = jax.random.normal(jax.random.key(31), (1, 8, 8, 4))
+    vks = [jax.random.normal(jax.random.key(32), (8, 8, 4)),
+           -jax.random.normal(jax.random.key(32), (8, 8, 4))]
+    a = clone(True, "b")
+    b = clone(False, "s")
+    na = a._edit_along_directions(zt, vks, ["d0", "d1"], vis_num=2)
+    nb = b._edit_along_directions(zt, vks, ["d0", "d1"], vis_num=2)
+    assert na == nb
+    import numpy as _np
+    from PIL import Image
+
+    for n in na:
+        ia = _np.asarray(Image.open(os.path.join(a.cfg.result_folder, n + ".png")))
+        ib = _np.asarray(Image.open(os.path.join(b.cfg.result_folder, n + ".png")))
+        _np.testing.assert_allclose(ia.astype(_np.int16), ib.astype(_np.int16),
+                                    atol=1)
