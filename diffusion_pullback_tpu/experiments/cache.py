@@ -42,13 +42,18 @@ def basis_name(
     block_idx: int,
     seed: int,
     edit_prompt: Optional[str] = None,
+    pca_rank: Optional[int] = None,
 ) -> str:
     """local_basis-{dataset}_{idx}-{t}T-["{prompt}"-]{op}-block_{i}-seed_{s}
-    (reference edit.py:218 / :713)."""
+    (reference edit.py:218 / :713). The reference disambiguates ranks via
+    its save_dir (`...-pca_rank_{r}`, edit.py:220); here the rank joins the
+    name so r=2 edit bases and r=50 analysis bases never shadow each other
+    in the flat cache folder."""
     prompt_part = f'-"{edit_prompt}"' if edit_prompt is not None else ""
+    rank_part = f"-pca_rank_{pca_rank}" if pca_rank is not None else ""
     return (
         f"local_basis-{dataset_name}_{sample_idx}-{edit_t}T{prompt_part}"
-        f"-{op}-block_{block_idx}-seed_{seed}"
+        f"-{op}-block_{block_idx}-seed_{seed}{rank_part}"
     )
 
 

@@ -522,7 +522,7 @@ class EditStableDiffusion(DriverCommonMixin):
         cfg = self.cfg
         name = basis_name(
             cfg.dataset_name, idx, cfg.edit_t, op, block_idx, cfg.seed,
-            edit_prompt=cfg.edit_prompt,
+            edit_prompt=cfg.edit_prompt, pca_rank=pca_rank,
         ) + self._basis_name_extras(tap)
         cached = self.cache.load(name)
         if cached is not None:
@@ -703,10 +703,10 @@ class EditStableDiffusion(DriverCommonMixin):
 
         stride = max(1, (cfg.x_space_guidance_num_step + 1) // vis_num)
 
-        def edit_one(p, ee, fe, ne, z_start, vk):
-            traj = self._guidance_walk(p, ee, z_start, vk, t_edit)
-            sel = traj[::stride, 0]
-            # post-edit regularizers (uncond tail applies the same set)
+        def apply_regularizers(sel, z_start):
+            # post-edit regularizers (uncond tail applies the same set) —
+            # one definition shared by the fused and host branches so the
+            # flag set / ordering can never diverge between them
             from ..samplers.regularizers import (
                 dynamic_thresholding, preserve_contrast, preserve_norm,
             )
@@ -717,6 +717,11 @@ class EditStableDiffusion(DriverCommonMixin):
                 sel = preserve_contrast(sel, z_start)
             if cfg.use_preserve_norm:
                 sel = preserve_norm(sel, z_start)
+            return sel
+
+        def edit_one(p, ee, fe, ne, z_start, vk):
+            traj = self._guidance_walk(p, ee, z_start, vk, t_edit)
+            sel = apply_regularizers(traj[::stride, 0], z_start)
             return self._finish_forward(p, sel, fe, ne)
 
         t0 = time.perf_counter()
@@ -727,18 +732,7 @@ class EditStableDiffusion(DriverCommonMixin):
             # measured r3: device UNAVAILABLE/RESOURCE_EXHAUSTED)
             def guide_one(p, ee, z_start, vk):
                 traj = self._guidance_walk(p, ee, z_start, vk, t_edit)
-                sel = traj[::stride, 0]
-                from ..samplers.regularizers import (
-                    dynamic_thresholding, preserve_contrast, preserve_norm,
-                )
-
-                if cfg.use_dynamic_thresholding:
-                    sel = dynamic_thresholding(sel, cfg.dynamic_thresholding_q)
-                if cfg.use_preserve_contrast:
-                    sel = preserve_contrast(sel, z_start)
-                if cfg.use_preserve_norm:
-                    sel = preserve_norm(sel, z_start)
-                return sel
+                return apply_regularizers(traj[::stride, 0], z_start)
 
             if cfg.edit_vmap_directions and len(todo) > 1:
                 # batch the direction axis: ONE vmapped guidance-scan program
@@ -1240,7 +1234,7 @@ class EditStableDiffusion(DriverCommonMixin):
         suffix = self._basis_name_extras(tap)
         names = [
             basis_name(cfg.dataset_name, idx, et, op, block_idx, cfg.seed,
-                       edit_prompt=cfg.edit_prompt) + suffix
+                       edit_prompt=cfg.edit_prompt, pca_rank=pca_rank) + suffix
             for et in t_grid
         ]
         if all(self.cache.load(n) is not None for n in names):
@@ -1390,7 +1384,8 @@ class EditStableDiffusion(DriverCommonMixin):
         h_t = cfg.edit_t if h_t is None else h_t
         names = [
             basis_name(cfg.dataset_name, idx, h_t, op, block_idx, cfg.seed,
-                       edit_prompt=pr) + self._basis_name_extras(tap)
+                       edit_prompt=pr, pca_rank=pca_rank)
+            + self._basis_name_extras(tap)
             for pr in prompts
         ]
         todo = [i for i, n in enumerate(names)
@@ -1425,7 +1420,11 @@ class EditStableDiffusion(DriverCommonMixin):
         pad = (-len(todo)) % dp if dp else 0
         embs = embs + embs[-1:] * pad
         emb_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *embs)
-        keys = jax.random.split(jax.random.key(cfg.seed), len(embs))
+        # same probe seed for every prompt — the serial per-prompt path
+        # passes jax.random.key(seed) to each compute_local_basis, so the
+        # cache entries this sweep fills must come from identical inits
+        # (the uncond _harvest_bases twin broadcasts for the same reason)
+        keys = jnp.broadcast_to(jax.random.key(cfg.seed), (len(embs),))
 
         def sweep(p, z, tt, emb_axis, ks):
             def pull_one(ee, kk):
@@ -1481,7 +1480,7 @@ class EditStableDiffusion(DriverCommonMixin):
             cfg.edit_prompt = edit_prompt
         name = basis_name(
             cfg.dataset_name, idx, h_t, op, block_idx, cfg.seed,
-            edit_prompt=cfg.edit_prompt,
+            edit_prompt=cfg.edit_prompt, pca_rank=pca_rank,
         )
         if self.cache.load(name) is not None:
             return self.cache.path(name)

@@ -62,6 +62,11 @@ class UncondExperimentConfig:
     sega_reg_sigma: float = 1.0
     # OpenAI respacing grid spec ('' = YH linspace grid from for_steps)
     sampling_timesteps: str = ""
+    # classifier guidance (ADM condition_score path) — recorded here so
+    # cache keys can distinguish guided trajectories; the actual cond_fn
+    # hook is set on the driver
+    classifier_scale: float = 0.0
+    classifier_label: int = 0
     # performance boosting: η=1 below this fraction of T (edit.py:1650)
     performance_boosting_t: float = 0.2
     use_performance_boosting: bool = True
@@ -175,6 +180,19 @@ class EditUncondDiffusion(DriverCommonMixin):
 
     def eps_fn(self, z, t):
         return self._eps_with(self.params)(z, t)
+
+    def _basis_name_extras(self, tap=None) -> str:
+        """Cache-key qualifiers beyond basis_name: intra-block tap position
+        and the classifier-guidance setting. A cond_fn folds into every ε
+        eval, so guided runs invert/forward to DIFFERENT latents — bases
+        harvested under guidance must not shadow unguided ones."""
+        s = ""
+        if tap is not None and getattr(tap, "inner", None):
+            s += f"-after_{tap.inner[0]}{tap.inner[1]}"
+        if getattr(self, "cond_fn", None) is not None:
+            s += (f"-clsg{self.cfg.classifier_scale}"
+                  f"-y{self.cfg.classifier_label}")
+        return s
 
     def run_ddim_inversion(self, idx: int) -> jax.Array:
         """x0 → xT (reference run_DDIMinversion, edit.py:613-678)."""
@@ -324,8 +342,9 @@ class EditUncondDiffusion(DriverCommonMixin):
         shape_hint = tuple(xt.shape[1:])
 
         name = basis_name(
-            cfg.dataset_name, idx, cfg.edit_t, op, block_idx, cfg.seed
-        ) + (f"-after_{tap.inner[0]}{tap.inner[1]}" if tap.inner else "")
+            cfg.dataset_name, idx, cfg.edit_t, op, block_idx, cfg.seed,
+            pca_rank=pca_rank,
+        ) + self._basis_name_extras(tap)
         cached = self.cache.load(name)
         if cached is not None:
             u, s, vT = map(jnp.asarray, cached)
@@ -406,7 +425,8 @@ class EditUncondDiffusion(DriverCommonMixin):
         t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
 
         name = basis_name(cfg.dataset_name, idx, cfg.edit_t, op, block_idx,
-                          cfg.seed)
+                          cfg.seed, pca_rank=pca_rank) \
+            + self._basis_name_extras(tap)
         cached = self.cache.load(name)
         if cached is not None:
             u, s, vT = map(jnp.asarray, cached)
@@ -602,7 +622,8 @@ class EditUncondDiffusion(DriverCommonMixin):
             xt = self.forward_to_edit_t(xT)
             xts[idx] = xt
             name = basis_name(cfg.dataset_name, idx, cfg.edit_t, op,
-                              block_idx, cfg.seed)
+                              block_idx, cfg.seed, pca_rank=pca_rank) \
+                + self._basis_name_extras(tap)
             cached = self.cache.load(name)
             if cached is None:
                 res = self.compute_local_basis(
@@ -775,7 +796,8 @@ class EditUncondDiffusion(DriverCommonMixin):
         cfg = self.cfg
         tap = TapPoint(op, block_idx)
         names = {idx: basis_name(cfg.dataset_name, idx, cfg.edit_t, op,
-                                 block_idx, cfg.seed)
+                                 block_idx, cfg.seed, pca_rank=pca_rank)
+                 + self._basis_name_extras(tap)
                  for idx in sample_indices}
         out = {}
         missing = []
@@ -1027,9 +1049,10 @@ class EditUncondDiffusion(DriverCommonMixin):
             for et in t_grid
         )
         suffix = ("-fix_xt" if fix_xt else "") + ("-fix_t" if fix_t else "") \
-            + (f"-after_{tap.inner[0]}{tap.inner[1]}" if tap.inner else "")
+            + self._basis_name_extras(tap)
         names = [
-            basis_name(cfg.dataset_name, idx, et, op, block_idx, cfg.seed)
+            basis_name(cfg.dataset_name, idx, et, op, block_idx, cfg.seed,
+                       pca_rank=pca_rank)
             + suffix
             for et in t_grid
         ]
@@ -1137,7 +1160,9 @@ class EditUncondDiffusion(DriverCommonMixin):
             t_idx = int(
                 jnp.argmin(jnp.abs(self.fwd_grid.timesteps - et * 1000.0))
             )
-            name = basis_name(cfg.dataset_name, idx, et, op, block_idx, cfg.seed)
+            name = basis_name(cfg.dataset_name, idx, et, op, block_idx,
+                              cfg.seed, pca_rank=pca_rank) \
+                + self._basis_name_extras(tap)
             if self.cache.load(name) is not None:
                 continue
             xt = self._jitted(

@@ -14,6 +14,7 @@ from .configs import (
     UNet2DConfig,
     VAEConfig,
     adm_cifar10,
+    adm_classifier,
     adm_classifier_imagenet256,
     adm_encoder_tiny,
     adm_ffhq_p2,
@@ -46,6 +47,7 @@ __all__ = [
     "ADMTapState",
     "UNetADM",
     "adm_cifar10",
+    "adm_classifier",
     "adm_classifier_imagenet256",
     "adm_encoder_tiny",
     "adm_ffhq_p2",

@@ -226,7 +226,7 @@ class UNetADM(nn.Module):
                 skips.append(h)
             blk = 1
             for level, mult in enumerate(cfg.channel_mult):
-                ch = cfg.model_channels * mult
+                ch = int(cfg.model_channels * mult)
                 skip_level = decoding and level <= tap.block_idx
                 for i in range(cfg.num_res_blocks):
                     if not skip_level:
@@ -257,7 +257,7 @@ class UNetADM(nn.Module):
                     skips.append(h)  # h_in re-inserted as its own skip
 
         # ---- middle -------------------------------------------------------
-        mid_ch = cfg.model_channels * cfg.channel_mult[-1]
+        mid_ch = int(cfg.model_channels * cfg.channel_mult[-1])
         run_mid = (not decoding) or tap.op == "down"
         if run_mid:
             h = resblock(mid_ch, None, "middle_block_0")(h, emb, deterministic)
@@ -270,7 +270,7 @@ class UNetADM(nn.Module):
         blk = 0
         ds = 2 ** (n_levels - 1)
         for level, mult in enumerate(reversed(cfg.channel_mult)):
-            ch = cfg.model_channels * mult
+            ch = int(cfg.model_channels * mult)
             skip_up = decoding and tap.op == "up" and level <= tap.block_idx
             for i in range(cfg.num_res_blocks + 1):
                 if not skip_up:
@@ -349,8 +349,13 @@ class AttentionPool2d(nn.Module):
         qkv = nn.Dense(3 * c, dtype=self.dtype, precision=self.precision,
                        name="qkv_proj")(tokens)
         heads = c // self.num_head_channels
-        q, k, v = jnp.split(
-            qkv.reshape(b, -1, heads, 3 * self.num_head_channels), 3, axis=-1
+        # The reference pool runs QKVAttention (unet.py:363 — "splits in a
+        # different order"): qkv is laid out [Q(C); K(C); V(C)] along the
+        # channel axis, heads nested inside each block — NOT the legacy
+        # per-head interleave the U-Net attention blocks use.
+        q, k, v = (
+            part.reshape(b, -1, heads, self.num_head_channels)
+            for part in jnp.split(qkv, 3, axis=-1)
         )
         out = attention(q, k, v, impl=self.attn_impl, precision=self.precision)
         out = nn.Dense(self.output_dim, dtype=self.dtype,
@@ -415,7 +420,7 @@ class EncoderUNetADM(nn.Module):
         blk, ds = 1, 1
         n_levels = len(cfg.channel_mult)
         for level, mult in enumerate(cfg.channel_mult):
-            ch = cfg.model_channels * mult
+            ch = int(cfg.model_channels * mult)
             for _ in range(cfg.num_res_blocks):
                 h = resblock(ch, None, f"input_blocks_{blk}_0")(
                     h, emb, deterministic)
@@ -437,7 +442,7 @@ class EncoderUNetADM(nn.Module):
                 blk += 1
                 ds *= 2
 
-        mid_ch = cfg.model_channels * cfg.channel_mult[-1]
+        mid_ch = int(cfg.model_channels * cfg.channel_mult[-1])
         h = resblock(mid_ch, None, "middle_block_0")(h, emb, deterministic)
         h = attnblock(mid_ch, "middle_block_1")(h)
         h = resblock(mid_ch, None, "middle_block_2")(h, emb, deterministic)
@@ -461,8 +466,10 @@ class EncoderUNetADM(nn.Module):
                                  dtype=dtype, name="out_0")(h))
         if cfg.pool == "adaptive":
             h = h.mean(axis=(1, 2), keepdims=True)
+            # torch Sequential index 3: (norm, SiLU, AdaptiveAvgPool2d, conv)
+            # — unet.py:143-148 — so the checkpoint name is `out.3`.
             h = _zeros_conv(cfg.out_channels, (1, 1), dtype, cfg.precision,
-                            "out_2", zero=cfg.zero_init)(h)
+                            "out_3", zero=cfg.zero_init)(h)
             return h.reshape(h.shape[0], -1)
         if cfg.pool == "attention":
             return AttentionPool2d(

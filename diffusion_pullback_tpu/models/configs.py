@@ -345,6 +345,31 @@ def adm_classifier_imagenet256() -> ADMEncoderConfig:
     return ADMEncoderConfig()
 
 
+def adm_classifier(image_size: int = 256, *, width: int = 128,
+                   depth: int = 2,
+                   attn_res: Tuple[int, ...] = (32, 16, 8),
+                   pool: str = "attention") -> ADMEncoderConfig:
+    """Published guidance-classifier architecture at a given resolution
+    (reference create_classifier, script_util.py:479-517): channel_mult
+    switches on image_size and attention sits at downsample factors
+    image_size // res — both vary with size, so a 256px config must not be
+    reused verbatim at 64/128/512px."""
+    mults = {
+        512: (0.5, 1, 1, 2, 2, 4, 4),
+        256: (1, 1, 2, 2, 4, 4),
+        128: (1, 1, 2, 3, 4),
+        64: (1, 2, 3, 4),
+    }
+    if image_size not in mults:
+        raise ValueError(f"unsupported classifier image size: {image_size}")
+    return ADMEncoderConfig(
+        image_size=image_size, model_channels=width, num_res_blocks=depth,
+        channel_mult=mults[image_size],
+        attention_resolutions=tuple(image_size // r for r in attn_res),
+        pool=pool,
+    )
+
+
 def adm_encoder_tiny(image_size: int = 16, pool: str = "attention"
                      ) -> ADMEncoderConfig:
     return ADMEncoderConfig(

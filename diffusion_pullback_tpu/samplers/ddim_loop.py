@@ -187,9 +187,12 @@ def ddpm_forward(
     gaussian_diffusion.py:397-482) as one `lax.scan`.
 
     - fixed small variance (β̃ posterior, ModelVarType.FIXED_SMALL) when
-      ``learn_sigma`` is False; with True, ``model_fn`` returns [ε, logvar]
-      stacked on channels and the model variance is used (the ADM
-      LEARNED_RANGE output is already a log-variance — split upstream).
+      ``learn_sigma`` is False; with True, ``model_fn`` returns [ε, v]
+      stacked on channels where v∈[-1,1] is the ModelVarType.LEARNED_RANGE
+      output (every published ADM/P2 learn_sigma checkpoint): the log
+      variance is the improved-DDPM interpolation
+      frac·log β_t + (1−frac)·log β̃_t with frac=(v+1)/2
+      (gaussian_diffusion.py:262-275).
     - ``cond_fn`` applies the Sohl-Dickstein conditioning strategy
       (condition_mean, gaussian_diffusion.py:356-369): μ ← μ + Σ·∇ log p(y|x).
     - noise is masked at t == 0 (the reference's nonzero_mask).
@@ -217,14 +220,19 @@ def ddpm_forward(
         ab_prev = jnp.where(tp < 0, 1.0, alpha_bar(schedule, tp))
         beta_t = 1.0 - ab_t / ab_prev            # respaced-exact β
         out = model_fn(xt, t)
+        tilde = (1.0 - ab_prev) / (1.0 - ab_t) * beta_t
+        # the 1e-20 floor stands in for posterior_log_variance_clipped; it
+        # only differs at the final transition, where noise is masked anyway
+        min_log = jnp.log(jnp.maximum(tilde, 1e-20))
         if learn_sigma:
-            et, logvar = split_learned_sigma(out)
+            et, v = split_learned_sigma(out)
+            frac = (v + 1.0) / 2.0
+            logvar = frac * jnp.log(beta_t) + (1.0 - frac) * min_log
             variance = jnp.exp(logvar)
         else:
             et = out
-            tilde = (1.0 - ab_prev) / (1.0 - ab_t) * beta_t
-            variance = jnp.broadcast_to(jnp.maximum(tilde, 1e-20), xt.shape)
-            logvar = jnp.log(variance)
+            variance = jnp.broadcast_to(jnp.exp(min_log), xt.shape)
+            logvar = jnp.broadcast_to(min_log, xt.shape)
         # posterior mean in ε form (gaussian_diffusion q_posterior through
         # _predict_xstart_from_eps)
         x0 = jnp.clip(predict_x0(et, xt, ab_t), -1.0, 1.0)

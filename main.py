@@ -139,6 +139,8 @@ def build_uncond(args, mesh=None):
         use_performance_boosting=args.performance_boosting_t > 0,
         pca_rank=args.pca_rank,
         pullback_chunk_size=args.pullback_chunk_size or None,
+        classifier_scale=getattr(args, "classifier_scale", 0.0),
+        classifier_label=getattr(args, "classifier_label", 0),
         result_folder=args.result_folder,
         obs_folder=args.obs_folder,
         basis_folder=os.path.join(
@@ -154,17 +156,13 @@ def build_uncond(args, mesh=None):
         # ADM classifier guidance (the vendored condition_score path,
         # gaussian_diffusion.py:371-392): a noisy-image classifier's
         # log-prob gradient folds into epsilon on every sampler loop
-        import dataclasses as _dc
-
-        from diffusion_pullback_tpu.models import (
-            EncoderUNetADM,
-            adm_classifier_imagenet256,
-        )
+        from diffusion_pullback_tpu.models import EncoderUNetADM
+        from diffusion_pullback_tpu.models.configs import adm_classifier
         from diffusion_pullback_tpu.samplers import classifier_grad_fn
 
-        ccfg = _dc.replace(
-            adm_classifier_imagenet256(), image_size=args.image_size
-        )
+        # size-dependent published architecture (script_util.py:489-502) —
+        # channel_mult and attention ds both change with image_size
+        ccfg = adm_classifier(args.image_size)
         clf = EncoderUNetADM(ccfg)
         if args.classifier_path:
             from diffusion_pullback_tpu.models.convert import (

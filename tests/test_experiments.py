@@ -54,7 +54,8 @@ def test_end_to_end_edit(driver):
         p = os.path.join(driver.cfg.result_folder, n + ".png")
         assert os.path.exists(p), p
     # basis cached
-    name = basis_name(driver.cfg.dataset_name, 0, driver.cfg.edit_t, "mid", 0, 0)
+    name = basis_name(driver.cfg.dataset_name, 0, driver.cfg.edit_t, "mid",
+                      0, 0, pca_rank=driver.cfg.pca_rank)
     assert driver.cache.load(name) is not None
     # second run is a no-op (PNG idempotency, reference edit.py:285-288)
     names2 = driver.run_edit_local_encoder_pullback_xt(idx=0)
@@ -121,3 +122,27 @@ def test_global_pca_edit(driver):
         assert os.path.exists(
             os.path.join(driver.cfg.result_folder, n + ".png")
         ), n
+
+
+def test_basis_name_rank_qualifier():
+    """r=2 edit bases and r=50 analysis bases must not shadow each other
+    (the reference separates them via pca_rank_{r} save dirs, edit.py:220)."""
+    a = basis_name("d", 0, 0.7, "mid", 0, 0, pca_rank=2)
+    b = basis_name("d", 0, 0.7, "mid", 0, 0, pca_rank=50)
+    assert a != b and a.endswith("-pca_rank_2")
+    assert basis_name("d", 0, 0.7, "mid", 0, 0) + "-pca_rank_2" == a
+
+
+def test_classifier_guidance_qualifies_cache_key(driver):
+    """With a cond_fn set, every trajectory visits different latents, so
+    cached bases must carry the guidance setting in their key."""
+    from diffusion_pullback_tpu.models.unet2d import TapPoint
+
+    tap = TapPoint("mid", 0)
+    assert driver._basis_name_extras(tap) == ""
+    driver.cfg.classifier_scale = 2.5
+    driver.cfg.classifier_label = 7
+    driver.cond_fn = lambda x, t: jnp.zeros_like(x)
+    extras = driver._basis_name_extras(tap)
+    assert "clsg2.5" in extras and "y7" in extras
+    driver.cond_fn = None

@@ -104,7 +104,8 @@ def test_batched_harvest_matches_loop(driver):
     from diffusion_pullback_tpu.experiments import basis_name
 
     for et in (0.4, 0.8):
-        name = basis_name(driver.cfg.dataset_name, 0, et, "mid", 0, 0)
+        name = basis_name(driver.cfg.dataset_name, 0, et, "mid", 0, 0,
+                          pca_rank=2)
         u_b, s_b, vT_b = driver.cache.load(name)
         t_idx = int(jnp.argmin(jnp.abs(driver.fwd_grid.timesteps - et * 1000.0)))
         xT = driver.run_ddim_inversion(0)
@@ -140,7 +141,8 @@ def test_harvest_ablations(driver):
 
     # at the later grid point (index 1 in t_grid ordering → t=0.8 differs
     # from the pinned first point t=0.4), the ablated basis must differ
-    name_b = basis_name(driver.cfg.dataset_name, 0, 0.8, "mid", 0, 0)
+    name_b = basis_name(driver.cfg.dataset_name, 0, 0.8, "mid", 0, 0,
+                        pca_rank=2)
     _, s_b, _ = driver.cache.load(name_b)
     _, s_fx, _ = driver.cache.load(name_b + "-fix_xt")
     _, s_ft, _ = driver.cache.load(name_b + "-fix_t")

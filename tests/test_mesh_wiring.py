@@ -231,3 +231,29 @@ def test_dp_sample_harvest_matches_serial(tmp_path):
     again = d1._harvest_bases([0, 1], "mid", 0, pca_rank=8)
     np.testing.assert_allclose(np.asarray(again[0][1]),
                                np.asarray(out1[0][1]), rtol=1e-6)
+
+
+def test_prompt_sweep_fills_cache_with_edit_path_values(tmp_path):
+    """The sweep must write the SAME basis the serial edit path would
+    compute (identical probe inits — finite-iteration budgets make the
+    result init-dependent, so a sweep that seeded per-prompt keys would
+    poison the cache with rotated/flipped directions)."""
+    prompts = ["value parity prompt"]
+    d_sweep = _sd_driver(tmp_path, None, "vs")
+    d_edit = _sd_driver(tmp_path, None, "ve")
+
+    out = d_sweep.run_sample_encoder_local_tangent_space_zt_various_prompt(
+        prompts, idx=0, pca_rank=4
+    )
+    d_edit.run_edit_local_encoder_pullback_zt(
+        idx=0, edit_prompt=prompts[0], pca_rank=4
+    )
+    swept = _basis(out[prompts[0]])
+    edited = None
+    for f in os.listdir(d_edit.cfg.basis_folder):
+        edited = _basis(os.path.join(d_edit.cfg.basis_folder, f))
+    assert edited is not None
+    np.testing.assert_allclose(swept["s"], edited["s"], rtol=1e-4)
+    np.testing.assert_allclose(
+        (swept["vT"] @ edited["vT"].T).diagonal(), 1.0, atol=1e-4
+    )

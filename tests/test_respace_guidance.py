@@ -385,3 +385,64 @@ def test_calc_bpd_loop_key_mode():
     with pytest.raises(ValueError):
         calc_bpd_loop(sched, j_model, x0, key=jax.random.key(1),
                       noise=jnp.zeros((T,) + x0.shape))
+
+
+def test_ddpm_forward_matches_reference_learned_range_p_sample_chain():
+    """LEARNED_RANGE twin of the FIXED_SMALL chain oracle: the model emits
+    [ε, v] with v∈[-1,1] and the reference interpolates the log variance
+    frac·log β_t + (1−frac)·log β̃_t (gaussian_diffusion.py:262-275) — every
+    published ADM/P2 learn_sigma checkpoint uses this ModelVarType, so the
+    learned-σ ancestral path must match it, not exp(v)."""
+    from diffusion_pullback_tpu.samplers import ddpm_forward
+
+    gd, respace = _ref_guided_diffusion()
+    betas = gd.get_named_beta_schedule("linear", 1000)
+    sched = DiffusionSchedule.from_betas(betas)
+    spaced = respace.SpacedDiffusion(
+        use_timesteps={699, 700},
+        betas=betas,
+        model_mean_type=gd.ModelMeanType.EPSILON,
+        model_var_type=gd.ModelVarType.LEARNED_RANGE,
+        loss_type=gd.LossType.MSE,
+    )
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(2, 3, 8, 8)).astype(np.float32)
+    eps_const = 0.1 * rng.normal(size=x.shape).astype(np.float32)
+    v_const = np.tanh(rng.normal(size=x.shape)).astype(np.float32)
+    noise = rng.normal(size=x.shape).astype(np.float32)
+
+    class M:  # constant-[ε, v] torch model
+        def __call__(self, xx, tt):
+            return torch.as_tensor(
+                np.concatenate([eps_const, v_const], axis=1))
+
+    real_randn_like = torch.randn_like
+    torch.randn_like = lambda a, **kw: torch.as_tensor(noise)
+    try:
+        cur = torch.as_tensor(x)
+        for idx in (1, 0):
+            cur = spaced.p_sample(
+                M(), cur, torch.as_tensor([idx, idx]),
+                clip_denoised=True, model_kwargs={},
+            )["sample"]
+        ref = cur.numpy()
+    finally:
+        torch.randn_like = real_randn_like
+
+    import unittest.mock as mock
+
+    nhwc = lambda a: a.transpose(0, 2, 3, 1)
+    with mock.patch("jax.random.normal",
+                    lambda k, shape, dtype=jnp.float32:
+                    jnp.asarray(nhwc(noise), dtype)):
+        ours = ddpm_forward(
+            lambda z, t: jnp.concatenate(
+                [jnp.asarray(nhwc(eps_const)), jnp.asarray(nhwc(v_const))],
+                axis=-1),
+            jnp.asarray(nhwc(x)), sched, jax.random.key(0),
+            timesteps=jnp.asarray([700.0, 699.0]),
+            learn_sigma=True,
+        )
+    np.testing.assert_allclose(
+        np.asarray(ours), nhwc(ref), rtol=2e-4, atol=2e-5
+    )
