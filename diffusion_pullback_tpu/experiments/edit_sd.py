@@ -230,18 +230,20 @@ class EditStableDiffusion(DriverCommonMixin):
             lambda p, zz, tt, emb: self._tap_encode(p, zz, tt, emb, tap)
         ), None, impl
 
-    def _tap_encode_with_state(self, params, z, t, prompt_emb, tap: TapPoint):
+    def _tap_encode_with_state(self, params, z, t, prompt_emb, tap: TapPoint,
+                               unet=None):
         """(h, resume-state) at the tap — reference get_h + the skip stack
         (utils.py:438-635)."""
-        return self.unet.apply(
+        return (unet or self.unet).apply(
             params, z, t, prompt_emb, tap,
             method=UNet2DCondition.encode_with_state,
         )
 
-    def _tap_decode_with_state(self, params, h, state, tap: TapPoint):
+    def _tap_decode_with_state(self, params, h, state, tap: TapPoint,
+                               unet=None):
         """Resume the U-Net from a (possibly perturbed) tapped h → ε
         (reference get_h_to_e, utils.py:529-635)."""
-        return self.unet.apply(
+        return (unet or self.unet).apply(
             params, h, state, tap, method=UNet2DCondition.decode_with_state
         )
 
@@ -905,25 +907,44 @@ class EditStableDiffusion(DriverCommonMixin):
         )
         return res
 
+    def _decoder_pullback_unets(self):
+        """(unet_jvp, unet_vjp_or_None) for the decode-side pullback — the
+        same impl-selection discipline as _pullback_tap_encoders: a flash
+        model (or --pullback_attn_impl flash) maps to the fused-kernel PAIR
+        because the custom_vjp primal cannot be jax.linearize'd."""
+        impl = getattr(self.cfg, "pullback_attn_impl", "") \
+            or self.unet.config.attn_impl
+        if impl in ("flash", "flash_jvp"):
+            return self._unet_variant("flash_jvp"), self._unet_variant("flash")
+        if impl != self.unet.config.attn_impl:
+            return self._unet_variant(impl), None
+        return self.unet, None
+
     def _decoder_pullback_impl(self, p, emb, zt, t, tap, pca_rank,
                                x0_pullback, key):
         from ..ops.ddim import predict_x0
         from ..ops.schedule import alpha_bar
 
+        u_jvp, u_vjp = self._decoder_pullback_unets()
         h, state = self._tap_encode_with_state(p, zt, t, emb, tap)
 
-        def decode_fn(hh):
-            eps = self._tap_decode_with_state(p, hh, state, tap)
-            if x0_pullback:
-                return predict_x0(eps, zt, alpha_bar(self.schedule, t))
-            return eps
+        def decode_with(unet):
+            def decode_fn(hh):
+                eps = self._tap_decode_with_state(p, hh, state, tap,
+                                                  unet=unet)
+                if x0_pullback:
+                    return predict_x0(eps, zt, alpha_bar(self.schedule, t))
+                return eps
+
+            return decode_fn
 
         return local_pullback(
-            decode_fn, h, key, pca_rank=pca_rank,
+            decode_with(u_jvp), h, key, pca_rank=pca_rank,
             min_iter=self.cfg.pullback_min_iter,
             max_iter=self.cfg.pullback_max_iter,
             atol=self.cfg.pullback_atol,
             remat=self.cfg.pullback_remat,
+            fn_vjp=decode_with(u_vjp) if u_vjp is not None else None,
         )
 
     def run_edit_local_decoder_pullback_zt(

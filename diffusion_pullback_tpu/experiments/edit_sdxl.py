@@ -106,12 +106,13 @@ class EditStableDiffusionXL(EditStableDiffusion):
             method=UNet2DCondition.encode,
         )
 
-    def _tap_encode_with_state(self, params, z, t, prompt_emb, tap: TapPoint):
+    def _tap_encode_with_state(self, params, z, t, prompt_emb, tap: TapPoint,
+                               unet=None):
         """SDXL flavour: dual-tower context + pooled addition embeddings
         (the base-class decoder-pullback/PCA experiments route through these
         hooks, so they work unchanged on SDXL)."""
         ctx, pooled = prompt_emb
-        return self.unet.apply(
+        return (unet or self.unet).apply(
             params, z, t, ctx, tap,
             added_cond=self._added(pooled, z.shape[0]),
             method=UNet2DCondition.encode_with_state,

@@ -67,6 +67,11 @@ class UncondExperimentConfig:
     # hook is set on the driver
     classifier_scale: float = 0.0
     classifier_label: int = 0
+    # attention impl for the linearized pullback encoder ('' = the model's
+    # own; 'flash' selects the fused custom_jvp/custom_vjp kernel pair —
+    # required whenever the MODEL runs the flash primal, which has no
+    # forward-mode rule)
+    pullback_attn_impl: str = ""
     # performance boosting: η=1 below this fraction of T (edit.py:1650)
     performance_boosting_t: float = 0.2
     use_performance_boosting: bool = True
@@ -194,6 +199,38 @@ class EditUncondDiffusion(DriverCommonMixin):
                   f"-y{self.cfg.classifier_label}")
         return s
 
+    def _model_variant(self, attn_impl: str):
+        """Same weights, different attention kernels (the param tree is
+        impl-independent)."""
+        key = f"_model_variant_{attn_impl}"
+        if key not in self._jit_cache:
+            self._jit_cache[key] = type(self.model)(
+                dataclasses.replace(self.model.config, attn_impl=attn_impl)
+            )
+        return self._jit_cache[key]
+
+    def _pullback_models(self):
+        """(model_jvp, model_vjp_or_None) for the linearized pullback —
+        the SD-driver discipline (edit_sd._pullback_tap_encoders): a flash
+        model (or cfg.pullback_attn_impl flash) maps to the fused
+        custom_jvp/custom_vjp kernel pair, since the flash primal cannot be
+        jax.linearize'd. At DDPM-256 sequence lengths (≤256 tokens) every
+        impl falls back to XLA inside attention(), so this only changes
+        behavior for ADM-style nets with ≥1024-token attention."""
+        model_impl = getattr(self.model.config, "attn_impl", None)
+        if model_impl is None:
+            # the DDPM-family UNet2D has no switchable attention (its 256-
+            # token attention never profits from fused kernels) — nothing
+            # to pair or override
+            return self.model, None
+        impl = getattr(self.cfg, "pullback_attn_impl", "") or model_impl
+        if impl in ("flash", "flash_jvp"):
+            return (self._model_variant("flash_jvp"),
+                    self._model_variant("flash"))
+        if impl != model_impl:
+            return self._model_variant(impl), None
+        return self.model, None
+
     def run_ddim_inversion(self, idx: int) -> jax.Array:
         """x0 → xT (reference run_DDIMinversion, edit.py:613-678)."""
         x0 = jnp.asarray(self.dataset[idx])
@@ -268,20 +305,24 @@ class EditUncondDiffusion(DriverCommonMixin):
         self, xt: jax.Array, t: jax.Array, tap: TapPoint, pca_rank: int
     ):
         n_probe = self._mesh_probe_size(pca_rank)
+        m_jvp, m_vjp = self._pullback_models()
+        enc = lambda m: (lambda p, zz, tt: m.apply(
+            p, zz, tt, tap, method=type(m).encode))
+        e_jvp, e_vjp = enc(m_jvp), (enc(m_vjp) if m_vjp is not None else None)
         if n_probe:
             from ..parallel import make_sharded_pullback
 
             runner = self._cached(
                 f"pullback_{tap}_{pca_rank}_probe{n_probe}",
                 lambda: make_sharded_pullback(
-                    lambda zz, p, tt: self.model.apply(
-                        p, zz, tt, tap, method=type(self.model).encode
-                    ),
+                    lambda zz, p, tt: e_jvp(p, zz, tt),
                     self.cfg.mesh,
                     pca_rank=pca_rank,
                     min_iter=self.cfg.pullback_min_iter,
                     max_iter=self.cfg.pullback_max_iter,
                     atol=self.cfg.pullback_atol,
+                    fn_vjp=((lambda zz, p, tt: e_vjp(p, zz, tt))
+                            if e_vjp is not None else None),
                 ),
             )
             run = lambda p, z, tt, k: runner(z, k, p, tt)
@@ -289,12 +330,14 @@ class EditUncondDiffusion(DriverCommonMixin):
             run = self._jitted(
                 f"pullback_{tap}_{pca_rank}",
                 lambda p, z, tt, k: local_pullback(
-                    lambda zz: self.model.apply(p, zz, tt, tap, method=type(self.model).encode),
+                    lambda zz: e_jvp(p, zz, tt),
                     z, k,
                     pca_rank=pca_rank,
                     min_iter=self.cfg.pullback_min_iter,
                     max_iter=self.cfg.pullback_max_iter,
                     atol=self.cfg.pullback_atol,
+                    fn_vjp=((lambda zz: e_vjp(p, zz, tt))
+                            if e_vjp is not None else None),
                     chunk_size=self.cfg.pullback_chunk_size,
                 ),
             )
@@ -734,23 +777,28 @@ class EditUncondDiffusion(DriverCommonMixin):
         from ..ops.ddim import predict_x0
         from ..ops.schedule import alpha_bar
 
+        m_jvp, m_vjp = self._pullback_models()
         h, state = self.model.apply(
             p, xt, t, tap, method=type(self.model).encode_with_state
         )
 
-        def decode_fn(hh):
-            eps = self.model.apply(
-                p, hh, state, tap, method=type(self.model).decode_with_state
-            )
-            if x0_pullback:
-                return predict_x0(eps, xt, alpha_bar(self.schedule, t))
-            return eps
+        def decode_with(model):
+            def decode_fn(hh):
+                eps = model.apply(
+                    p, hh, state, tap, method=type(model).decode_with_state
+                )
+                if x0_pullback:
+                    return predict_x0(eps, xt, alpha_bar(self.schedule, t))
+                return eps
+
+            return decode_fn
 
         return local_pullback(
-            decode_fn, h, key, pca_rank=pca_rank,
+            decode_with(m_jvp), h, key, pca_rank=pca_rank,
             min_iter=self.cfg.pullback_min_iter,
             max_iter=self.cfg.pullback_max_iter,
             atol=self.cfg.pullback_atol,
+            fn_vjp=decode_with(m_vjp) if m_vjp is not None else None,
         )
 
     def run_edit_local_decoder_pullback_xt(
@@ -835,6 +883,11 @@ class EditUncondDiffusion(DriverCommonMixin):
                     a, NamedSharding(mesh, PartitionSpec("dp")))
                 xb, ks = con(xb), con(ks)
 
+                m_jvp, m_vjp = self._pullback_models()
+                t_e = self.fwd_grid.timesteps[self.edit_t_idx]
+                enc = lambda m: (lambda zz: m.apply(
+                    p, zz, t_e, tap, method=type(m).encode))
+
                 def one(x1, kk):
                     eps = self._eps_with(p)
                     xT = ddim_invert(eps, x1[None], self.schedule,
@@ -842,14 +895,13 @@ class EditUncondDiffusion(DriverCommonMixin):
                     xt = ddim_forward(eps, xT, self.schedule, self.fwd_grid,
                                       end_idx=self.edit_t_idx)
                     return local_pullback(
-                        lambda zz: self.model.apply(
-                            p, zz, self.fwd_grid.timesteps[self.edit_t_idx],
-                            tap, method=type(self.model).encode),
+                        enc(m_jvp),
                         xt, kk, pca_rank=pca_rank,
                         min_iter=cfg.pullback_min_iter,
                         max_iter=cfg.pullback_max_iter,
                         atol=cfg.pullback_atol,
                         chunk_size=cfg.pullback_chunk_size,
+                        fn_vjp=enc(m_vjp) if m_vjp is not None else None,
                     )
 
                 return jax.vmap(one)(xb, ks)
@@ -1101,16 +1153,20 @@ class EditUncondDiffusion(DriverCommonMixin):
                 ts = jax.lax.with_sharding_constraint(ts, sh)
                 keys = jax.lax.with_sharding_constraint(keys, sh)
 
+            m_jvp, m_vjp = self._pullback_models()
+            enc = lambda m, tt: (lambda zz: m.apply(
+                p, zz, tt, tap, method=type(m).encode))
+
             def pull_one(args):
                 xt, tt, kk = args
                 return local_pullback(
-                    lambda zz: self.model.apply(p, zz, tt, tap,
-                                                method=type(self.model).encode),
+                    enc(m_jvp, tt),
                     xt, kk, pca_rank=pca_rank,
                     min_iter=self.cfg.pullback_min_iter,
                     max_iter=self.cfg.pullback_max_iter,
                     atol=self.cfg.pullback_atol,
                     chunk_size=self.cfg.pullback_chunk_size,
+                    fn_vjp=enc(m_vjp, tt) if m_vjp is not None else None,
                 )
 
             if sequential:

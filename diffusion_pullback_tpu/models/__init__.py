@@ -88,7 +88,8 @@ __all__ = [
 ]
 
 
-def model_for_name(model_name: str, dtype: str = "float32", precision=None):
+def model_for_name(model_name: str, dtype: str = "float32", precision=None,
+                   attn_impl: str = ""):
     """model_name → constructed uncond diffusion module.
 
     The routing the reference scatters across configs/paths.py:1-19,
@@ -126,7 +127,9 @@ def model_for_name(model_name: str, dtype: str = "float32", precision=None):
     if model_name in adm:
         cfg = dataclasses.replace(adm[model_name](), dtype=dtype,
                                   precision=precision)
-        return UNetADM(cfg)
+        if attn_impl:  # sampling-side kernel (UNet2D has no switch; its
+            cfg = dataclasses.replace(cfg, attn_impl=attn_impl)  # 256-token
+        return UNetADM(cfg)  # attention gains nothing from fused kernels)
     raise ValueError(f"unknown uncond model_name: {model_name!r}")
 
 

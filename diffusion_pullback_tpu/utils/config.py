@@ -276,6 +276,22 @@ def preset(args):
     if args.dtype not in ("fp32", "bf16"):
         raise ValueError(f"--dtype must be 'fp32'|'bf16' (got {args.dtype!r})")
 
+    # attention auto-resolution: sampling paths never differentiate, so on
+    # accelerators 'auto' resolves to the Pallas flash kernel (measured
+    # 32.2 → 26.1 ms/step on the full SD2.1-512 forward, one v5e chip; the
+    # kernel falls back to XLA below 1024 tokens). Forward-mode paths are
+    # unaffected: the pullback selects its own impl via
+    # --pullback_attn_impl (default: the fused flash JVP/VJP pair), and the
+    # decoder pullback routes through the same pair. CPU keeps the
+    # xla/blockwise dispatch (interpret-mode Pallas is test-only).
+    if args.attn_impl == "auto":
+        import jax
+
+        if jax.default_backend() != "cpu":
+            args.attn_impl = "flash"
+            print("[preset] --attn_impl auto -> flash (sampling paths; "
+                  "pullback uses the fused pair)")
+
     # family-derived input geometry (reference :207-219)
     if args.is_sdxl:
         args.c_in, args.image_size, args.memory_bound = 4, 128, 1

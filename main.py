@@ -74,6 +74,7 @@ def build_uncond(args, mesh=None):
         args.model_name,
         dtype="bfloat16" if args.dtype == "bf16" else "float32",
         precision=args.matmul_precision or None,
+        attn_impl=args.attn_impl if args.attn_impl != "auto" else "",
     )
 
     x0 = jnp.zeros((1, args.image_size, args.image_size, args.c_in))
@@ -139,6 +140,11 @@ def build_uncond(args, mesh=None):
         use_performance_boosting=args.performance_boosting_t > 0,
         pca_rank=args.pca_rank,
         pullback_chunk_size=args.pullback_chunk_size or None,
+        # fused flash pair whenever the model itself runs flash primals
+        # (the flash kernel has no forward-mode rule); harmless at ≤256
+        # tokens where attention() falls back to XLA anyway
+        pullback_attn_impl=args.pullback_attn_impl or (
+            "flash" if jax.default_backend() != "cpu" else ""),
         classifier_scale=getattr(args, "classifier_scale", 0.0),
         classifier_label=getattr(args, "classifier_label", 0),
         result_folder=args.result_folder,

@@ -261,3 +261,49 @@ def test_inner_tap_pullback_edit(tmp_path):
     cached = os.listdir(cfg.basis_folder)
     assert any("after_res0" in c for c in cached)
     assert any("after_attn0" in c for c in cached)
+
+
+def test_pullback_models_flash_pair_selection(driver, tmp_path):
+    """A flash-primal model (no forward-mode rule) must map the linearized
+    pullback onto the custom_jvp/custom_vjp kernel pair; models without a
+    switchable attention (UNet2D) are a no-op even under the accelerator
+    default pullback_attn_impl='flash'."""
+    # UNet2D: no attn_impl on the config → nothing to pair
+    driver.cfg.pullback_attn_impl = "flash"
+    assert driver._pullback_models() == (driver.model, None)
+
+    # ADM: switchable attention → the fused pair
+    from diffusion_pullback_tpu.models import UNetADM, adm_tiny
+
+    m = UNetADM(adm_tiny(16))
+    p = m.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+               jnp.float32(0.0))
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        driver.cfg, pullback_attn_impl="flash",
+        result_folder=str(tmp_path / "ar"), obs_folder=str(tmp_path / "ao"),
+        basis_folder=str(tmp_path / "ai"),
+    )
+    from diffusion_pullback_tpu.experiments import EditUncondDiffusion
+    from diffusion_pullback_tpu.models.unet2d import TapPoint
+    from diffusion_pullback_tpu.ops import DiffusionSchedule
+    from diffusion_pullback_tpu.utils.datasets import NoiseDataset
+    from diffusion_pullback_tpu.utils.logging import JSONLLogger
+
+    d = EditUncondDiffusion(m, p, DiffusionSchedule.linear(),
+                            NoiseDataset(16, n=1), cfg,
+                            logger=JSONLLogger(path=None, echo=False))
+    m_jvp, m_vjp = d._pullback_models()
+    assert m_jvp.config.attn_impl == "flash_jvp"
+    assert m_vjp.config.attn_impl == "flash"
+    # at tiny sequence lengths every impl falls back to XLA inside
+    # attention(), so the pair must reproduce the xla numerics exactly
+    xt = jnp.asarray(d.dataset[0])
+    t = d.fwd_grid.timesteps[d.edit_t_idx]
+    r_pair = d.compute_local_basis(xt, t, TapPoint("mid", 0), 2)
+    d.cfg.pullback_attn_impl = ""
+    d._jit_cache.clear()
+    r_base = d.compute_local_basis(xt, t, TapPoint("mid", 0), 2)
+    np.testing.assert_allclose(np.asarray(r_pair.s), np.asarray(r_base.s),
+                               rtol=1e-5)
