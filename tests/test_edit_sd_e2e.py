@@ -85,6 +85,7 @@ def test_sd_end_to_end_edit(sd_driver):
     assert sd_driver.run_edit_local_encoder_pullback_zt(idx=0) == names
 
 
+@pytest.mark.slow
 def test_sd_forward_and_harvest(sd_driver, tmp_path):
     x0 = sd_driver.run_DDIMforward(num_samples=2, save_as=str(tmp_path / "f.png"))
     assert x0.shape == (2, 16, 16, 3)
@@ -243,6 +244,7 @@ def test_text_driven_direction_multi_pc(sd_driver):
         assert f"_c{c[pc]:+.3f}" in names[rank]
 
 
+@pytest.mark.slow
 def test_edit_tail_deepcache_interval1_matches_plain(sd_driver):
     """_finish_forward at edit_deepcache_interval=1 is bit-exact with the
     plain finish; interval=3 produces close, finite latents (VERDICT r2
@@ -275,6 +277,7 @@ def test_sd_edit_e2e_with_deepcache_tail(sd_driver):
     sd_driver.cfg.edit_deepcache_interval = 0
 
 
+@pytest.mark.slow
 def test_local_pca_text(sd_driver):
     """Deprecated-in-reference text-space PCA (utils.py:1029-1101 working
     spec): caches (u_h, s, vT_text) with vT rows in text-embedding space."""
@@ -293,6 +296,7 @@ def test_local_pca_text(sd_driver):
     assert sd_driver.run_local_pca_text(idx=0, pca_rank=2, num_samples=32) == p
 
 
+@pytest.mark.slow
 def test_sequential_directions_match_vmapped(sd_driver, tmp_path):
     """edit_vmap_directions=False (the SDXL one-chip memory mode) produces
     the same edited images as the vmapped tail."""
@@ -330,6 +334,7 @@ def test_sequential_directions_match_vmapped(sd_driver, tmp_path):
                                     atol=1)
 
 
+@pytest.mark.slow
 def test_host_batched_directions_match_serial(sd_driver, tmp_path):
     """loop_impl='host' with edit_vmap_directions=True (ONE vmapped
     guidance-scan program + ONE combined finish batch over the flattened
@@ -371,6 +376,7 @@ def test_host_batched_directions_match_serial(sd_driver, tmp_path):
                                     atol=1)
 
 
+@pytest.mark.slow
 def test_guidance_deepcache_walk(sd_driver):
     """x_space_guidance_scan_deepcache: interval=1 is bit-exact with the
     plain fused walk; interval=3 refreshes on micro-step 0 (so the first
@@ -396,6 +402,7 @@ def test_guidance_deepcache_walk(sd_driver):
     sd_driver.cfg.guidance_deepcache_interval = 0
 
 
+@pytest.mark.slow
 def test_host_deepcache_finish_matches_scan(sd_driver):
     """_finish_forward_host (per-step dispatch, the SDXL one-chip mode)
     equals the fused DeepCache scan at the same interval."""
@@ -416,6 +423,7 @@ def test_host_deepcache_finish_matches_scan(sd_driver):
                                rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_host_edit_tail_end_to_end(sd_driver):
     """Full edit experiment with loop_impl='host' (guidance program +
     per-step finish) writes the same PNG set."""
@@ -431,6 +439,7 @@ def test_host_edit_tail_end_to_end(sd_driver):
     sd_driver.cfg.edit_deepcache_interval = 0
 
 
+@pytest.mark.slow
 def test_host_batched_directions_with_guidance_deepcache(sd_driver, tmp_path):
     """The direction-vmapped host tail composes with the micro-walk
     DeepCache (the lax.cond refresh stays unbatched under the direction

@@ -89,6 +89,7 @@ def test_sega_sparsify():
     np.testing.assert_array_equal(out[~mask], v_np[~mask])
 
 
+@pytest.mark.slow
 def test_edit_tail_applies_regularizers(tmp_path):
     """The x-space edit tail honors the preserve_norm flag end to end."""
     from diffusion_pullback_tpu.experiments import (

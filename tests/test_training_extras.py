@@ -164,6 +164,7 @@ def test_gradient_accumulation_via_multisteps():
     assert d2 > 0.0  # second micro-step applied the accumulated update
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_in_jit_scan():
     """accum_steps>1 scans microbatches inside one compiled step (the
     reference's forward_backward microbatch loop, train_util.py, without
