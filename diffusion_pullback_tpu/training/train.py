@@ -41,12 +41,17 @@ class TrainState(NamedTuple):
 
 
 def create_train_state(
-    params: Any, optimizer: optax.GradientTransformation
+    params: Any, optimizer: optax.GradientTransformation, n_ema: int = 1
 ) -> TrainState:
+    """``n_ema > 1`` keeps one EMA copy per rate — the reference TrainLoop's
+    comma-separated ``ema_rate`` list (train_util.py:58-62 keeps
+    ``self.ema_params`` as a list); ``ema_params`` is then a tuple of
+    pytrees, matching a tuple ``ema_rate`` in :func:`make_train_step`."""
+    copy = lambda: jax.tree.map(jnp.copy, params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        ema_params=jax.tree.map(jnp.copy, params),
+        ema_params=copy() if n_ema == 1 else tuple(copy() for _ in range(n_ema)),
         opt_state=optimizer.init(params),
     )
 
@@ -55,7 +60,7 @@ def make_train_step(
     apply_fn: Callable[[Any, jax.Array, jax.Array], jax.Array],
     schedule: DiffusionSchedule,
     optimizer: optax.GradientTransformation,
-    ema_rate: float = 0.9999,
+    ema_rate=0.9999,  # float, or tuple of floats for one EMA copy per rate
     learn_sigma_vb_weight: Optional[float] = None,
     loss_aware: bool = False,
     accum_steps: int = 1,
@@ -161,11 +166,17 @@ def make_train_step(
             )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        ema_params = jax.tree.map(
-            lambda e, p: e * ema_rate + p * (1.0 - ema_rate),
-            state.ema_params,
-            params,
+        ema_one = lambda rate, tree: jax.tree.map(
+            lambda e, p: e * rate + p * (1.0 - rate), tree, params
         )
+        if isinstance(ema_rate, (tuple, list)):
+            # one EMA copy per rate (reference ema_rate="0.9999,0.99995",
+            # train_util.py:58-62); state from create_train_state(n_ema=len)
+            ema_params = tuple(
+                ema_one(r, e) for r, e in zip(ema_rate, state.ema_params)
+            )
+        else:
+            ema_params = ema_one(ema_rate, state.ema_params)
         new_state = TrainState(state.step + 1, params, ema_params, opt_state)
         metrics = {
             "loss": loss,

@@ -193,3 +193,34 @@ def test_gradient_accumulation_in_jit_scan():
 
     with pytest.raises(ValueError, match="not divisible"):
         step(state, jnp.ones((3, 16, 16, 3)), jax.random.key(1))
+
+
+def test_multi_rate_ema():
+    """ema_rate as a tuple keeps one EMA copy per rate (the reference's
+    comma-separated ema_rate list, train_util.py:58-62)."""
+    import optax
+
+    from diffusion_pullback_tpu.models import UNet2D, ddpm_tiny
+    from diffusion_pullback_tpu.training import create_train_state, make_train_step
+
+    model = UNet2D(ddpm_tiny(16))
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                        jnp.float32(0.0))
+    sched = DiffusionSchedule.linear()
+    opt = optax.sgd(1e-2)
+    rates = (0.0, 0.5)
+    state = create_train_state(params, opt, n_ema=len(rates))
+    step = make_train_step(lambda p, xt, t: model.apply(p, xt, t), sched, opt,
+                           ema_rate=rates)
+    b = jnp.ones((2, 16, 16, 3)) * 0.1
+    s1, _ = jax.jit(step)(state, b, jax.random.key(1))
+    assert isinstance(s1.ema_params, tuple) and len(s1.ema_params) == 2
+    # rate 0.0 tracks the live params exactly
+    d0 = max(jax.tree.leaves(jax.tree.map(
+        lambda a, c: float(jnp.abs(a - c).max()), s1.ema_params[0], s1.params)))
+    assert d0 == 0.0
+    # rate 0.5 sits strictly between the old and new params
+    mid = jax.tree.map(lambda a, c: 0.5 * (a + c), state.params, s1.params)
+    d5 = max(jax.tree.leaves(jax.tree.map(
+        lambda a, c: float(jnp.abs(a - c).max()), s1.ema_params[1], mid)))
+    assert d5 < 1e-6
