@@ -28,6 +28,11 @@ import time
 
 import jax
 
+# sitecustomize force-registers the TPU plugin, defeating the JAX_PLATFORMS
+# env var — honor it explicitly (e.g. JAX_PLATFORMS=cpu for offline runs)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 # persistent compilation cache: repeat bench/CLI runs skip the multi-minute
 # remote compiles (cache keyed on program hash; safe across processes)
 jax.config.update("jax_compilation_cache_dir",
@@ -331,23 +336,40 @@ def bench_sd_sampling():
         lambda k: UNet2DCondition(cfg).init(k, z[:1], t, ctx[:1])
     )(jax.random.key(2))
 
-    res = {}
-    for impl in ("flash", "xla"):
-        u = UNet2DCondition(dataclasses.replace(cfg, attn_impl=impl))
+    bf16_params = jax.jit(lambda p: jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, p))(params)
+
+    def run(u, p, zz, c):
         f = jax.jit(lambda p, zz, c: u.apply(p, zz, t, c))
-        _sync(f(params, z, ctx))
+        _sync(f(p, zz, c))
         n = 20
         t0 = time.perf_counter()
         for _ in range(n):
-            out = f(params, z, ctx)
+            out = f(p, zz, c)
         _sync(out)
-        res[impl] = (time.perf_counter() - t0) / n
+        return (time.perf_counter() - t0) / n
+
+    res = {}
+    for impl in ("flash", "xla"):
+        u = UNet2DCondition(dataclasses.replace(cfg, attn_impl=impl))
+        res[impl] = run(u, params, z, ctx)
+    # product default since r3: bf16 compute (--dtype auto) + bf16 parameter
+    # storage (--weights_dtype auto); the w_f32 variant isolates the pure
+    # HBM-weight-traffic saving the --weights_dtype flag buys
+    ub = UNet2DCondition(dataclasses.replace(
+        cfg, attn_impl="flash", dtype="bfloat16"))
+    zb, cb = z.astype(jnp.bfloat16), ctx.astype(jnp.bfloat16)
+    res["bf16"] = run(ub, bf16_params, zb, cb)
+    res["bf16_w_f32"] = run(ub, params, zb, cb)
     return {
         "metric": "sd21_unet_fwd_flash",
         "value": round(res["flash"] * 1e3, 3),
         "unit": "ms/step",
         "vs_baseline": round(res["xla"] / res["flash"], 3),
         "xla_ms": round(res["xla"] * 1e3, 3),
+        "bf16_ms": round(res["bf16"] * 1e3, 3),
+        "bf16_w_f32_ms": round(res["bf16_w_f32"] * 1e3, 3),
         "batch": 2,
     }
 

@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default="",
                    help="'fp32'|'bf16'|'' = auto: bf16 on accelerators "
                         "(TPU/GPU), fp32 on CPU")
+    p.add_argument("--weights_dtype", type=str, default="auto",
+                   help="diffusion-model parameter storage: 'auto' follows "
+                        "--dtype (bf16 weights halve HBM weight traffic per "
+                        "denoise step; SDXL has always cast), 'fp32' keeps "
+                        "f32 master weights under bf16 compute")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--result_folder", type=str, default="./runs/")
     # model / dataset
@@ -275,6 +280,11 @@ def preset(args):
         print(f"[preset] --dtype auto -> {args.dtype} (backend={backend})")
     if args.dtype not in ("fp32", "bf16"):
         raise ValueError(f"--dtype must be 'fp32'|'bf16' (got {args.dtype!r})")
+    if args.weights_dtype == "auto":
+        args.weights_dtype = args.dtype
+    if args.weights_dtype not in ("fp32", "bf16"):
+        raise ValueError("--weights_dtype must be 'auto'|'fp32'|'bf16' "
+                         f"(got {args.weights_dtype!r})")
 
     # attention auto-resolution: sampling paths never differentiate, so on
     # accelerators 'auto' resolves to the Pallas flash kernel (measured

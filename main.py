@@ -15,6 +15,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
+# this environment's sitecustomize force-registers the TPU plugin, which
+# wins over the JAX_PLATFORMS env var — honor the var explicitly so
+# `JAX_PLATFORMS=cpu python main.py ...` behaves as every JAX user expects
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".jax_cache"))
@@ -77,6 +82,16 @@ def build_uncond(args, mesh=None):
         attn_impl=args.attn_impl if args.attn_impl != "auto" else "",
     )
 
+    # bf16 parameter storage halves HBM weight traffic per step; vae/text
+    # (SD family) and optimizer-facing master params are unaffected
+    cast = (
+        (lambda t: jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, t))
+        if getattr(args, "weights_dtype", "fp32") == "bf16"
+        else (lambda t: t)
+    )
+
     x0 = jnp.zeros((1, args.image_size, args.image_size, args.c_in))
     if args.checkpoint_path:
         if isinstance(model, UNet2D):
@@ -99,9 +114,10 @@ def build_uncond(args, mesh=None):
             params = convert_torch_state_dict(
                 load_torch_checkpoint_file(args.checkpoint_path), template
             )
+        params = cast(params)
     else:
         print("[main] no --checkpoint_path: deterministic random init (offline)")
-        params = jax.jit(lambda k: model.init(k, x0, jnp.float32(0.0)))(
+        params = jax.jit(lambda k: cast(model.init(k, x0, jnp.float32(0.0))))(
             jax.random.key(args.seed)
         )
 
@@ -235,6 +251,14 @@ def build_sd(args, mesh=None):
     x0 = jnp.zeros((1, args.image_size * 8, args.image_size * 8, 3))
     ids0 = jnp.zeros((1, text.config.max_length), jnp.int32)
 
+    # bf16 UNet weights halve HBM weight traffic per denoise step (the VAE
+    # and text encoder run once per edit — keep them f32)
+    cast = (
+        (lambda t: jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, t))
+        if args.weights_dtype == "bf16" else (lambda t: t)
+    )
     if args.checkpoint_path:
         from diffusion_pullback_tpu.models.convert import (
             convert_torch_state_dict,
@@ -250,14 +274,14 @@ def build_sd(args, mesh=None):
             sd = load_torch_checkpoint_file(os.path.join(root, sub))
             return convert_torch_state_dict(sd, template)
 
-        unet_params = load(unet, (z0, jnp.float32(0.0), ctx0),
-                           "unet/diffusion_pytorch_model.bin")
+        unet_params = cast(load(unet, (z0, jnp.float32(0.0), ctx0),
+                                "unet/diffusion_pytorch_model.bin"))
         vae_params = load(vae, (x0,), "vae/diffusion_pytorch_model.bin")
         text_params = load(text, (ids0,), "text_encoder/pytorch_model.bin")
     else:
         print("[main] no --checkpoint_path: deterministic random init (offline)")
         unet_params = jax.jit(
-            lambda k: unet.init(k, z0, jnp.float32(0.0), ctx0)
+            lambda k: cast(unet.init(k, z0, jnp.float32(0.0), ctx0))
         )(jax.random.key(args.seed))
         vae_params = jax.jit(lambda k: vae.init(k, x0))(jax.random.key(args.seed + 1))
         text_params = jax.jit(lambda k: text.init(k, ids0))(jax.random.key(args.seed + 2))
@@ -372,7 +396,7 @@ def build_sdxl(args, mesh=None):
         (lambda t: jax.tree.map(
             lambda a: a.astype(jnp.bfloat16)
             if a.dtype == jnp.float32 else a, t))
-        if args.dtype == "bf16" else (lambda t: t)
+        if args.weights_dtype == "bf16" else (lambda t: t)
     )
     if args.checkpoint_path:
         from diffusion_pullback_tpu.models.convert import (

@@ -2,6 +2,7 @@
 
 import os
 
+import jax
 import pytest
 
 from diffusion_pullback_tpu.utils.config import parse_args, preset
@@ -84,3 +85,32 @@ def test_dtype_auto_resolution(tmp_path):
     assert args.dtype == "bf16"
     with pytest.raises(ValueError, match="dtype"):
         preset(parse_args(_base_argv(tmp_path, **{"--dtype": "f64"})))
+
+
+def test_weights_dtype_resolution(tmp_path):
+    """'auto' follows the resolved --dtype; explicit values decouple
+    parameter storage from compute dtype; junk is rejected."""
+    args = preset(parse_args(_base_argv(tmp_path)))
+    assert args.weights_dtype == args.dtype == "fp32"
+    args = preset(parse_args(_base_argv(tmp_path, **{"--dtype": "bf16"})))
+    assert args.weights_dtype == "bf16"
+    args = preset(parse_args(_base_argv(
+        tmp_path, **{"--dtype": "bf16", "--weights_dtype": "fp32"})))
+    assert args.dtype == "bf16" and args.weights_dtype == "fp32"
+    with pytest.raises(ValueError, match="weights_dtype"):
+        preset(parse_args(_base_argv(tmp_path, **{"--weights_dtype": "f64"})))
+
+
+def test_weights_dtype_casts_params(tmp_path):
+    """--weights_dtype bf16 stores the diffusion-model parameters in
+    bfloat16 (halved HBM weight traffic) without touching compute dtype."""
+    import jax.numpy as jnp
+
+    from main import build_uncond
+
+    args = preset(parse_args(_base_argv(tmp_path, **{
+        "--weights_dtype": "bf16", "--pca_rank": "2"})))
+    drv = build_uncond(args)
+    leaves = jax.tree.leaves(drv.params)
+    assert all(a.dtype == jnp.bfloat16 for a in leaves
+               if jnp.issubdtype(a.dtype, jnp.floating))
