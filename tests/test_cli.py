@@ -114,3 +114,30 @@ def test_weights_dtype_casts_params(tmp_path):
     leaves = jax.tree.leaves(drv.params)
     assert all(a.dtype == jnp.bfloat16 for a in leaves
                if jnp.issubdtype(a.dtype, jnp.floating))
+
+
+def test_weights_dtype_sd_casts_unet_only(tmp_path, monkeypatch):
+    """SD family: the cast hits the per-step UNet but not the once-per-edit
+    VAE/text encoder (tiny configs stand in for the 866M real ones)."""
+    import jax.numpy as jnp
+
+    import main as cli
+    from diffusion_pullback_tpu import models
+    from diffusion_pullback_tpu.models import configs as C
+
+    monkeypatch.setattr(models, "sd21_base_unet", lambda: C.sd_tiny_unet())
+    monkeypatch.setattr(models, "sd_vae",
+                        lambda attn_impl="": C.vae_tiny(sample_size=16))
+    monkeypatch.setattr(models, "sd21_text_encoder",
+                        lambda: C.clip_text_tiny())
+    args = preset(parse_args(_base_argv(tmp_path, **{
+        "--model_name": "stabilityai/stable-diffusion-2-1-base",
+        "--performance_boosting_t": "0.0",
+        "--weights_dtype": "bf16", "--pca_rank": "2"})))
+    args.image_size = 2  # tiny: x0 for the VAE init is image_size*8 px
+    drv = cli.build_sd(args)
+    f = lambda t: {a.dtype for a in jax.tree.leaves(t)
+                   if jnp.issubdtype(a.dtype, jnp.floating)}
+    assert f(drv.unet_params) == {jnp.dtype(jnp.bfloat16)}
+    assert f(drv.vae_params) == {jnp.dtype(jnp.float32)}
+    assert f(drv.text_params) == {jnp.dtype(jnp.float32)}
