@@ -564,6 +564,57 @@ def bench_bf16_pullback():
     }
 
 
+def bench_flash_tune():
+    """Side mode (--flash-tune): sweep flash-forward block sizes at the hot
+    self-attention shapes (SD-512 4096/1024-token levels, SDXL levels, the
+    VAE mid block) to validate the 512×512 default on real hardware."""
+    from diffusion_pullback_tpu.ops.pallas.flash_attention import (
+        _flash_forward,
+    )
+
+    shapes = [
+        # (label, B·H, S, D): SD2.1-512 CFG pair — 5 heads @4096, 10 @1024;
+        # SDXL-1024 — 10 heads @4096, 20 @1024; VAE mid 1 head d=512 @4096
+        ("sd_4096xh10_d64", 10, 4096, 64),
+        ("sd_1024xh20_d64", 20, 1024, 64),
+        ("sdxl_4096xh20_d64", 20, 4096, 64),
+        ("vae_4096xh1_d512", 1, 4096, 512),
+    ]
+    out = {"metric": "flash_block_tune", "value": 0, "unit": "ms",
+           "vs_baseline": 1.0}
+    for label, bh, s, d in shapes:
+        q = jax.random.normal(jax.random.key(0), (bh, s, d), jnp.bfloat16)
+        k = jax.random.normal(jax.random.key(1), (bh, s, d), jnp.bfloat16)
+        v = jax.random.normal(jax.random.key(2), (bh, s, d), jnp.bfloat16)
+        rows = {}
+        for bq in (256, 512, 1024):
+            for bk in (256, 512, 1024):
+                if s % bq or s % bk or bq > s or bk > s:
+                    continue
+                try:
+                    f = jax.jit(lambda q, k, v, bq=bq, bk=bk: _flash_forward(
+                        q, k, v, d ** -0.5, block_q=bq, block_k=bk))
+                    _sync(f(q, k, v))
+                    n = 30
+                    t0 = time.perf_counter()
+                    for _ in range(n):
+                        o = f(q, k, v)
+                    _sync(o)
+                    rows[f"{bq}x{bk}"] = round(
+                        (time.perf_counter() - t0) / n * 1e3, 4)
+                except Exception as e:
+                    rows[f"{bq}x{bk}"] = f"{type(e).__name__}"[:40]
+        timed = {kk: vv for kk, vv in rows.items() if isinstance(vv, float)}
+        best = min(timed, key=timed.get) if timed else None
+        out[label] = {"best": best, "ms": rows}
+    d512 = [v for v in out.values()
+            if isinstance(v, dict) and isinstance(
+                v.get("ms", {}).get("512x512"), float)]
+    if d512:
+        out["value"] = round(sum(v["ms"]["512x512"] for v in d512), 4)
+    return out
+
+
 def main():
     """Full matrix, one JSON line. Configs run in BASELINE order; a config
     that errors or starts past the deadline is recorded as skipped so the
@@ -613,6 +664,8 @@ if __name__ == "__main__":
         print(json.dumps(bench_mesh_pullback()))
     elif "--bf16" in sys.argv:
         print(json.dumps(bench_bf16_pullback()))
+    elif "--flash-tune" in sys.argv:
+        print(json.dumps(bench_flash_tune()))
     elif "--sd-sampling" in sys.argv:
         print(json.dumps(bench_sd_sampling()))
     elif "--config2" in sys.argv:
