@@ -31,7 +31,12 @@ from ..models.unet2d import TapPoint
 from ..models.unet2d_condition import UNet2DCondition
 from ..models.vae import AutoencoderKL
 from ..ops.schedule import DiffusionSchedule, ddim_timestep_grid
-from ..samplers.ddim_loop import ddim_forward, ddim_invert, make_ddim_step_fn
+from ..samplers.ddim_loop import (
+    ddim_forward,
+    ddim_invert,
+    ddim_scan,
+    make_ddim_step_fn,
+)
 from ..samplers.guidance import (
     x_space_guidance_scan,
     x_space_guidance_scan_deepcache,
@@ -59,8 +64,13 @@ class SDExperimentConfig:
     x_space_guidance_num_step: int = 16
     pca_rank: int = 2
     # 'scan' fuses whole trajectories into one XLA program; 'host' re-uses a
-    # single compiled step per timestep (fast compile for SD/SDXL-size nets)
+    # single compiled step per timestep (fast compile for SD/SDXL-size nets);
+    # 'chunk' re-uses a fused `loop_chunk`-step scan per dispatch — host-loop
+    # compile economics with the per-step dispatch/RTT overhead amortized
+    # chunk×, while each program stays far below the ≳40-step fused size
+    # that faults a single chip at SDXL-1024 (r3 measurement, TODO.md)
     loop_impl: str = "scan"
+    loop_chunk: int = 8
     pullback_min_iter: int = 10
     pullback_max_iter: int = 50
     pullback_atol: float = 1e-4
@@ -296,6 +306,29 @@ class EditStableDiffusion(DriverCommonMixin):
             )(z, t, tn),
         )
 
+    def _chunk_traverse(self, tag, eps_builder, embs, z, ts, tns):
+        """loop_impl='chunk': host loop over fused ``loop_chunk``-step
+        lax.scan programs. Timesteps enter as traced arrays, so at most two
+        program lengths compile per tag (the chunk and the remainder) and
+        every same-length chunk re-uses one program; dispatch/RTT overhead
+        amortizes chunk× vs the per-step host loop while each compiled
+        program stays a short fixed-size scan. ``eps_builder(p, embs)``
+        returns the ε closure for the traversal's conditioning."""
+        chunk = max(2, self.cfg.loop_chunk)
+        n, i = len(ts), 0
+        while i < n:
+            ln = min(chunk, n - i)
+            fn = self._jitted(
+                f"{tag}_chunk{ln}_b{z.shape[0]}",
+                lambda p, e, zz, tt, ttn: ddim_scan(
+                    eps_builder(p, e), zz, self.schedule, tt, ttn
+                )[0],
+            )
+            z = fn(self.unet_params, embs, z,
+                   jnp.asarray(ts[i:i + ln]), jnp.asarray(tns[i:i + ln]))
+            i += ln
+        return z
+
     def run_DDIMinversion(self, idx: int) -> jax.Array:
         """image → z0 (VAE, ×scaling) → zT (edit.py:112-183)."""
         z0 = self.encode_image(idx)
@@ -315,6 +348,13 @@ class EditStableDiffusion(DriverCommonMixin):
                     zT.block_until_ready()
                     self.log.log("sd_host_step_compiled",
                                  seconds=time.perf_counter() - t0)
+        elif self.cfg.loop_impl == "chunk":
+            zT = self._chunk_traverse(
+                "inv", lambda p, e: self.eps_with(p, e),
+                self.inv_prompt_emb, z0,
+                self.inv_grid.timesteps[:-1],
+                self.inv_grid.timesteps_next[:-1],
+            )
         else:
             invert = self._jitted(
                 "invert",
@@ -342,6 +382,14 @@ class EditStableDiffusion(DriverCommonMixin):
                           self.fwd_grid.timesteps[i],
                           self.fwd_grid.timesteps_next[i])
             return zt
+        if self.cfg.loop_impl == "chunk":
+            end = self.fwd_grid.num_steps if t_end_idx is None else t_end_idx
+            return self._chunk_traverse(
+                "fwd", lambda p, e: self.eps_with(p, e[0], e[1]),
+                (self.for_prompt_emb, self.neg_prompt_emb), zt,
+                self.fwd_grid.timesteps[t_start_idx:end],
+                self.fwd_grid.timesteps_next[t_start_idx:end],
+            )
         key = (t_start_idx, t_end_idx, zt.shape[0])
         fn = self._jitted(
             f"fwd_{key}",
@@ -727,11 +775,12 @@ class EditStableDiffusion(DriverCommonMixin):
             return self._finish_forward(p, sel, fe, ne)
 
         t0 = time.perf_counter()
-        if cfg.loop_impl == "host":
+        if cfg.loop_impl in ("host", "chunk"):
             # SDXL-scale memory/runtime mode: one short jitted program for
             # the guidance walk per direction, then the finish dispatched
-            # per step (fused ≳40-step 1024px programs fail on one chip —
-            # measured r3: device UNAVAILABLE/RESOURCE_EXHAUSTED)
+            # per step — or per loop_chunk-step scan under 'chunk' — (fused
+            # ≳40-step 1024px programs fail on one chip — measured r3:
+            # device UNAVAILABLE/RESOURCE_EXHAUSTED)
             def guide_one(p, ee, z_start, vk):
                 traj = self._guidance_walk(p, ee, z_start, vk, t_edit)
                 return apply_regularizers(traj[::stride, 0], z_start)
@@ -816,8 +865,12 @@ class EditStableDiffusion(DriverCommonMixin):
         RESOURCE_EXHAUSTED past ~40 fused steps), and per-step dispatch
         costs only ms. With ``edit_deepcache_interval`` > 1, two step
         programs alternate: a full refresh (encode to the ('up', n-2) tap +
-        decode) every N steps and a shallow-reuse step in between. CFG > 1
-        falls back to the plain (eps_with) host steps."""
+        decode) every N steps and a shallow-reuse step in between. Under
+        loop_impl='chunk' the same alternation runs as fused
+        ``loop_chunk``-step scans with the deep-feature cache carried
+        between chunks (absolute step indices keep the refresh phase
+        chunk-boundary independent). CFG > 1 falls back to the plain
+        (eps_with) steps."""
         from ..ops.ddim import ddim_step
         from ..ops.schedule import alpha_bar
 
@@ -846,11 +899,60 @@ class EditStableDiffusion(DriverCommonMixin):
                             alpha_bar(self.schedule, tn))
             return out.prev_sample
 
+        ts = self.fwd_grid.timesteps[self.edit_t_idx:]
+        tns = self.fwd_grid.timesteps_next[self.edit_t_idx:]
+
+        if cfg.loop_impl == "chunk":
+            def chunk_prog(p, emb, z, h, tt, ttn, ii):
+                def body(carry, inp):
+                    zc, hc = carry
+                    t, tn, i = inp
+                    eps, h_new = jax.lax.cond(
+                        i % itv == 0,
+                        lambda _: (lambda pair: (
+                            self._tap_decode_from(p, pair[0], pair[1], tap),
+                            pair[0],
+                        ))(self._tap_encode_with_state(p, zc, t, emb, tap)),
+                        lambda _: (
+                            self._tap_decode_from(
+                                p, hc, self._shallow_encode(p, zc, t, emb),
+                                tap,
+                            ),
+                            hc,
+                        ),
+                        None,
+                    )
+                    out = ddim_step(eps, zc, alpha_bar(self.schedule, t),
+                                    alpha_bar(self.schedule, tn))
+                    return (out.prev_sample, h_new), None
+
+                (zf, hf), _ = jax.lax.scan(body, (z, h), (tt, ttn, ii))
+                return zf, hf
+
+            h_shape = jax.eval_shape(
+                lambda z, t: self._tap_encode_with_state(
+                    self.unet_params, z, t, self.for_prompt_emb, tap
+                )[0],
+                sel, jnp.float32(0.0),
+            )
+            z = sel
+            h = jnp.zeros(h_shape.shape, h_shape.dtype)
+            idx = np.arange(len(ts))  # absolute: i==0 hits the full branch
+            chunk = max(2, cfg.loop_chunk)
+            i = 0
+            while i < len(ts):
+                ln = min(chunk, len(ts) - i)
+                fn = self._jitted(f"dc_chunk{ln}_b{sel.shape[0]}", chunk_prog)
+                z, h = fn(self.unet_params, self.for_prompt_emb, z, h,
+                          jnp.asarray(ts[i:i + ln]),
+                          jnp.asarray(tns[i:i + ln]),
+                          jnp.asarray(idx[i:i + ln]))
+                i += ln
+            return z
+
         full = self._jitted(f"dc_host_full_{sel.shape[0]}", full_step)
         reuse = self._jitted(f"dc_host_reuse_{sel.shape[0]}", reuse_step)
         z, h = sel, None
-        ts = self.fwd_grid.timesteps[self.edit_t_idx:]
-        tns = self.fwd_grid.timesteps_next[self.edit_t_idx:]
         for i, (t, tn) in enumerate(zip(ts, tns)):
             if i % itv == 0:
                 z, h = full(self.unet_params, self.for_prompt_emb, z, t, tn)

@@ -191,10 +191,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pullback_chunk_size", type=int, default=0,
                    help="probe-axis chunking for memory-bound configs; 0=off")
     p.add_argument("--loop_impl", type=str, default="scan",
-                   choices=["scan", "host"],
+                   choices=["scan", "host", "chunk"],
                    help="'scan' fuses trajectories into one XLA program; "
                         "'host' re-dispatches one compiled step (fast "
-                        "compile for SD/SDXL-scale nets)")
+                        "compile for SD/SDXL-scale nets); 'chunk' "
+                        "re-dispatches fused --loop_chunk-step scans "
+                        "(amortizes dispatch RTT while programs stay small)")
+    p.add_argument("--loop_chunk", type=int, default=8,
+                   help="steps per fused program under --loop_impl chunk")
     p.add_argument("--matmul_precision", type=str, default="",
                    help="''=backend default, 'highest'=f32 passes")
     p.add_argument("--data_root", type=str, default="")

@@ -314,6 +314,7 @@ def build_sd(args, mesh=None):
         x_space_guidance_num_step=args.x_space_guidance_num_step or 16,
         pca_rank=args.pca_rank,
         loop_impl=args.loop_impl,
+        loop_chunk=args.loop_chunk,
         # fused flash pair by default on accelerators (measured 1.5-5.2x
         # over xla/blockwise); pass --pullback_attn_impl xla to opt out
         pullback_attn_impl=args.pullback_attn_impl or (
@@ -471,6 +472,7 @@ def build_sdxl(args, mesh=None):
         x_space_guidance_num_step=args.x_space_guidance_num_step or 16,
         pca_rank=args.pca_rank,
         loop_impl=args.loop_impl,
+        loop_chunk=args.loop_chunk,
         # fused flash pair by default on accelerators (measured 1.5-5.2x
         # over xla/blockwise); pass --pullback_attn_impl xla to opt out
         pullback_attn_impl=args.pullback_attn_impl or (

@@ -124,6 +124,42 @@ def test_host_loop_matches_scan(sd_driver):
 
 
 @pytest.mark.slow
+def test_chunk_loop_matches_scan(sd_driver):
+    """loop_impl='chunk' (host loop over fused loop_chunk-step scans) must
+    match the fused trajectory, including the uneven remainder chunk
+    (8 forward steps / chunk 3 → programs of 3, 3, 2)."""
+    z_scan = sd_driver.run_DDIMinversion(idx=0)
+    sd_driver.cfg.loop_impl = "chunk"
+    sd_driver.cfg.loop_chunk = 3
+    sd_driver._jit_cache.clear()
+    z_chunk = sd_driver.run_DDIMinversion(idx=0)
+    np.testing.assert_allclose(np.asarray(z_chunk), np.asarray(z_scan),
+                               rtol=2e-4, atol=1e-5)
+    out_chunk = sd_driver.DDIMforwardsteps(z_chunk, 0)
+    sd_driver.cfg.loop_impl = "scan"
+    out_scan = sd_driver.DDIMforwardsteps(z_scan, 0)
+    np.testing.assert_allclose(np.asarray(out_chunk), np.asarray(out_scan),
+                               rtol=2e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_chunk_cfg_forward_matches_scan(sd_driver):
+    """CFG > 1 under loop_impl='chunk': the fused-2B guidance ε runs inside
+    the chunked scans identically to the single fused program."""
+    zt = jax.random.normal(jax.random.key(5), (1, 8, 8, 4))
+    sd_driver.cfg.guidance_scale = 3.0
+    out_scan = sd_driver.DDIMforwardsteps(zt, 0)
+    sd_driver.cfg.loop_impl = "chunk"
+    sd_driver.cfg.loop_chunk = 3
+    sd_driver._jit_cache.clear()
+    out_chunk = sd_driver.DDIMforwardsteps(zt, 0)
+    sd_driver.cfg.loop_impl = "scan"
+    sd_driver.cfg.guidance_scale = 0.0
+    np.testing.assert_allclose(np.asarray(out_chunk), np.asarray(out_scan),
+                               rtol=2e-3, atol=1e-4)
+
+
+@pytest.mark.slow
 def test_sd_batched_harvest(sd_driver):
     out = sd_driver.run_sample_encoder_local_tangent_space_zt_batched(
         idx=1, pca_rank=2, t_grid=(0.4, 0.8)
@@ -421,6 +457,46 @@ def test_host_deepcache_finish_matches_scan(sd_driver):
     hosted0 = sd_driver._finish_forward_host(zt)
     np.testing.assert_allclose(np.asarray(hosted0), np.asarray(plain),
                                rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_chunk_deepcache_finish_matches_scan(sd_driver):
+    """The chunked DeepCache finish (fused loop_chunk-step scans with the
+    deep-feature cache carried across chunk boundaries, absolute step
+    indices keeping the refresh phase) equals the fused DeepCache scan.
+    chunk=3 vs interval=3 over 8 steps puts refresh steps both at chunk
+    starts and mid-chunk."""
+    zt = jax.random.normal(jax.random.key(9), (2, 8, 8, 4))
+    p = sd_driver.unet_params
+    fe, ne = sd_driver.for_prompt_emb, sd_driver.neg_prompt_emb
+
+    sd_driver.cfg.edit_deepcache_interval = 3
+    fused = sd_driver._finish_forward(p, zt, fe, ne)
+    sd_driver.cfg.loop_impl = "chunk"
+    sd_driver.cfg.loop_chunk = 3
+    sd_driver._jit_cache.clear()
+    chunked = sd_driver._finish_forward_host(zt)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(fused),
+                               rtol=2e-4, atol=1e-5)
+    sd_driver.cfg.loop_impl = "scan"
+    sd_driver.cfg.edit_deepcache_interval = 0
+
+
+@pytest.mark.slow
+def test_chunk_edit_tail_end_to_end(sd_driver):
+    """Full edit experiment with loop_impl='chunk' (guidance program +
+    chunked DeepCache finish) writes the full PNG set."""
+    sd_driver.cfg.loop_impl = "chunk"
+    sd_driver.cfg.loop_chunk = 3
+    sd_driver.cfg.edit_deepcache_interval = 3
+    sd_driver._jit_cache.clear()
+    names = sd_driver.run_edit_local_encoder_pullback_zt(idx=1)
+    for n in names:
+        assert os.path.exists(
+            os.path.join(sd_driver.cfg.result_folder, n + ".png")
+        ), n
+    sd_driver.cfg.loop_impl = "scan"
+    sd_driver.cfg.edit_deepcache_interval = 0
 
 
 @pytest.mark.slow

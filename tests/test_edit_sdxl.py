@@ -163,6 +163,33 @@ def test_xl_edit_tail_deepcache_interval1_matches_plain(xl_driver):
     xl_driver.cfg.guidance_scale = 0.0
 
 
+def test_xl_chunk_loop_matches_scan(xl_driver):
+    """loop_impl='chunk' inherits cleanly in the XL driver: the chunked
+    traversals thread the (ctx, pooled) tuple embeddings and the chunked
+    DeepCache finish threads the added-cond overrides. Parity vs fused,
+    remainder chunk included (8 steps / chunk 3)."""
+    z_scan = xl_driver.run_DDIMinversion(idx=0)
+    xl_driver.cfg.loop_impl = "chunk"
+    xl_driver.cfg.loop_chunk = 3
+    xl_driver._jit_cache.clear()
+    z_chunk = xl_driver.run_DDIMinversion(idx=0)
+    np.testing.assert_allclose(np.asarray(z_chunk), np.asarray(z_scan),
+                               rtol=2e-4, atol=1e-5)
+
+    zt = jax.random.normal(jax.random.key(11), (2, 8, 8, 4))
+    p = xl_driver.unet_params
+    fe, ne = xl_driver.for_prompt_emb, xl_driver.neg_prompt_emb
+    xl_driver.cfg.loop_impl = "scan"
+    xl_driver.cfg.edit_deepcache_interval = 3
+    fused = xl_driver._finish_forward(p, zt, fe, ne)
+    xl_driver.cfg.loop_impl = "chunk"
+    chunked = xl_driver._finish_forward_host(zt)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(fused),
+                               rtol=2e-4, atol=1e-5)
+    xl_driver.cfg.loop_impl = "scan"
+    xl_driver.cfg.edit_deepcache_interval = 0
+
+
 def test_xl_guidance_deepcache_walk(xl_driver):
     """The DeepCache micro-walk routes through the SDXL hook overrides
     (_tap_encode_with_state/_shallow_encode with added conds): interval=1
