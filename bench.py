@@ -336,9 +336,8 @@ def bench_sd_sampling():
         lambda k: UNet2DCondition(cfg).init(k, z[:1], t, ctx[:1])
     )(jax.random.key(2))
 
-    bf16_params = jax.jit(lambda p: jax.tree.map(
-        lambda a: a.astype(jnp.bfloat16)
-        if a.dtype == jnp.float32 else a, p))(params)
+    from diffusion_pullback_tpu.models.convert import cast_f32_to_bf16
+    bf16_params = jax.jit(cast_f32_to_bf16)(params)
 
     def run(u, p, zz, c):
         f = jax.jit(lambda p, zz, c: u.apply(p, zz, t, c))
@@ -438,8 +437,8 @@ def bench_sdxl_pullback():
     added = (jax.random.normal(jax.random.key(2), (1, 1280), jnp.float32),
              jnp.asarray([[1024., 1024., 0., 0., 1024., 1024.]]))
     t = jnp.float32(699.3)
-    to_bf16 = lambda tree: jax.tree.map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, tree
+    from diffusion_pullback_tpu.models.convert import (
+        cast_f32_to_bf16 as to_bf16,
     )
     params = jax.jit(
         lambda k: to_bf16(unet_jvp.init(k, z, t, ctx, added_cond=added))

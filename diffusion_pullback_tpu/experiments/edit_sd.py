@@ -314,7 +314,7 @@ class EditStableDiffusion(DriverCommonMixin):
         amortizes chunk× vs the per-step host loop while each compiled
         program stays a short fixed-size scan. ``eps_builder(p, embs)``
         returns the ε closure for the traversal's conditioning."""
-        chunk = max(2, self.cfg.loop_chunk)
+        chunk = max(1, self.cfg.loop_chunk)
         n, i = len(ts), 0
         while i < n:
             ln = min(chunk, n - i)
@@ -938,11 +938,13 @@ class EditStableDiffusion(DriverCommonMixin):
             z = sel
             h = jnp.zeros(h_shape.shape, h_shape.dtype)
             idx = np.arange(len(ts))  # absolute: i==0 hits the full branch
-            chunk = max(2, cfg.loop_chunk)
+            chunk = max(1, cfg.loop_chunk)
             i = 0
             while i < len(ts):
                 ln = min(chunk, len(ts) - i)
-                fn = self._jitted(f"dc_chunk{ln}_b{sel.shape[0]}", chunk_prog)
+                fn = self._jitted(
+                    f"dc_chunk{ln}_b{sel.shape[0]}_itv{itv}", chunk_prog
+                )
                 z, h = fn(self.unet_params, self.for_prompt_emb, z, h,
                           jnp.asarray(ts[i:i + ln]),
                           jnp.asarray(tns[i:i + ln]),

@@ -22,8 +22,19 @@ from __future__ import annotations
 import re
 from typing import Any, Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def cast_f32_to_bf16(tree: Any) -> Any:
+    """bf16 parameter storage (--weights_dtype bf16): cast every float32
+    leaf, leave integer/other-dtype leaves (timestep tables, ids) alone.
+    One definition for every cast site so the policy can't drift."""
+    return jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        tree,
+    )
 
 
 # ---- name mapping ---------------------------------------------------------

@@ -85,6 +85,11 @@ def make_train_step(
     from .losses import vb_term
     from .resample import loss_aware_sample_t, update_loss_aware, uniform_sample_t
 
+    if isinstance(ema_rate, (tuple, list)) and len(ema_rate) == 1:
+        # create_train_state(n_ema=1) stores a bare pytree, not a 1-tuple —
+        # a single-rate list is the scalar case
+        ema_rate = ema_rate[0]
+
     def per_sample_losses(params, x0, t, noise):
         at = alpha_bar(schedule, t.astype(jnp.float32))
         at = at.reshape((-1,) + (1,) * (x0.ndim - 1))
@@ -172,6 +177,13 @@ def make_train_step(
         if isinstance(ema_rate, (tuple, list)):
             # one EMA copy per rate (reference ema_rate="0.9999,0.99995",
             # train_util.py:58-62); state from create_train_state(n_ema=len)
+            if not (isinstance(state.ema_params, tuple)
+                    and len(state.ema_params) == len(ema_rate)):
+                raise ValueError(
+                    f"ema_rate has {len(ema_rate)} entries but the state "
+                    "does not hold a matching tuple of EMA copies — build "
+                    f"it with create_train_state(n_ema={len(ema_rate)})"
+                )
             ema_params = tuple(
                 ema_one(r, e) for r, e in zip(ema_rate, state.ema_params)
             )

@@ -289,6 +289,11 @@ def preset(args):
     if args.weights_dtype not in ("fp32", "bf16"):
         raise ValueError("--weights_dtype must be 'auto'|'fp32'|'bf16' "
                          f"(got {args.weights_dtype!r})")
+    if args.loop_chunk < 1:
+        raise ValueError(
+            f"--loop_chunk must be >= 1 (got {args.loop_chunk}); 1 = "
+            "per-step programs (host-loop equivalent)"
+        )
 
     # attention auto-resolution: sampling paths never differentiate, so on
     # accelerators 'auto' resolves to the Pallas flash kernel (measured

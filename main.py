@@ -84,13 +84,8 @@ def build_uncond(args, mesh=None):
 
     # bf16 parameter storage halves HBM weight traffic per step; vae/text
     # (SD family) and optimizer-facing master params are unaffected
-    cast = (
-        (lambda t: jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16)
-            if a.dtype == jnp.float32 else a, t))
-        if getattr(args, "weights_dtype", "fp32") == "bf16"
-        else (lambda t: t)
-    )
+    from diffusion_pullback_tpu.models.convert import cast_f32_to_bf16
+    cast = cast_f32_to_bf16 if args.weights_dtype == "bf16" else (lambda t: t)
 
     x0 = jnp.zeros((1, args.image_size, args.image_size, args.c_in))
     if args.checkpoint_path:
@@ -253,12 +248,8 @@ def build_sd(args, mesh=None):
 
     # bf16 UNet weights halve HBM weight traffic per denoise step (the VAE
     # and text encoder run once per edit — keep them f32)
-    cast = (
-        (lambda t: jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16)
-            if a.dtype == jnp.float32 else a, t))
-        if args.weights_dtype == "bf16" else (lambda t: t)
-    )
+    from diffusion_pullback_tpu.models.convert import cast_f32_to_bf16
+    cast = cast_f32_to_bf16 if args.weights_dtype == "bf16" else (lambda t: t)
     if args.checkpoint_path:
         from diffusion_pullback_tpu.models.convert import (
             convert_torch_state_dict,
@@ -393,12 +384,8 @@ def build_sdxl(args, mesh=None):
     # 2.57B-param UNet: bf16 weights halve HBM (fits one v5e chip); the cast
     # is applied inside the producing program / before device upload so the
     # f32 and bf16 copies never coexist on-chip
-    cast = (
-        (lambda t: jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16)
-            if a.dtype == jnp.float32 else a, t))
-        if args.weights_dtype == "bf16" else (lambda t: t)
-    )
+    from diffusion_pullback_tpu.models.convert import cast_f32_to_bf16
+    cast = cast_f32_to_bf16 if args.weights_dtype == "bf16" else (lambda t: t)
     if args.checkpoint_path:
         from diffusion_pullback_tpu.models.convert import (
             convert_torch_state_dict,

@@ -483,6 +483,28 @@ def test_chunk_deepcache_finish_matches_scan(sd_driver):
 
 
 @pytest.mark.slow
+def test_chunk_deepcache_interval_change_recompiles(sd_driver):
+    """Review-finding regression: the chunked-finish jit cache is keyed by
+    edit_deepcache_interval (chunk_prog bakes the refresh phase into the
+    program), so changing the interval without clearing the cache must not
+    silently reuse the old program."""
+    zt = jax.random.normal(jax.random.key(9), (1, 8, 8, 4))
+    sd_driver.cfg.loop_impl = "chunk"
+    sd_driver.cfg.loop_chunk = 4
+    sd_driver.cfg.edit_deepcache_interval = 3
+    i3 = sd_driver._finish_forward_host(zt)
+    sd_driver.cfg.edit_deepcache_interval = 2
+    i2 = sd_driver._finish_forward_host(zt)
+    sd_driver._jit_cache.clear()
+    i2_fresh = sd_driver._finish_forward_host(zt)
+    np.testing.assert_allclose(np.asarray(i2), np.asarray(i2_fresh),
+                               rtol=1e-6, atol=1e-7)
+    assert not np.allclose(np.asarray(i2), np.asarray(i3))
+    sd_driver.cfg.loop_impl = "scan"
+    sd_driver.cfg.edit_deepcache_interval = 0
+
+
+@pytest.mark.slow
 def test_chunk_edit_tail_end_to_end(sd_driver):
     """Full edit experiment with loop_impl='chunk' (guidance program +
     chunked DeepCache finish) writes the full PNG set."""

@@ -224,3 +224,19 @@ def test_multi_rate_ema():
     d5 = max(jax.tree.leaves(jax.tree.map(
         lambda a, c: float(jnp.abs(a - c).max()), s1.ema_params[1], mid)))
     assert d5 < 1e-6
+
+    import pytest
+
+    # a length-1 tuple is the scalar case: works against the bare
+    # (n_ema=1) state instead of crashing on the tuple branch
+    state1 = create_train_state(params, opt)
+    step1 = make_train_step(lambda p, xt, t: model.apply(p, xt, t), sched,
+                            opt, ema_rate=(0.5,))
+    s2, _ = jax.jit(step1)(state1, b, jax.random.key(1))
+    assert not isinstance(s2.ema_params, tuple)
+    # rate-count / EMA-copy-count mismatch raises instead of silently
+    # zip-truncating an EMA copy
+    bad = make_train_step(lambda p, xt, t: model.apply(p, xt, t), sched,
+                          opt, ema_rate=(0.1, 0.2, 0.3))
+    with pytest.raises(ValueError, match="EMA copies"):
+        jax.jit(bad)(state, b, jax.random.key(1))
