@@ -563,6 +563,79 @@ def bench_bf16_pullback():
     }
 
 
+def bench_loop_dispatch():
+    """Side mode (--loop-dispatch): per-step cost of a 50-step SD 2.1-512
+    DDIM trajectory under the three --loop_impl strategies. Isolates the
+    dispatch/RTT overhead the chunk mode amortizes: 'host' pays one
+    dispatch per step, 'chunk8' one per 8 steps, 'scan' one per
+    trajectory. Steady-state fenced timings (compile excluded)."""
+    import dataclasses
+
+    from diffusion_pullback_tpu.models import UNet2DCondition, sd21_base_unet
+    from diffusion_pullback_tpu.models.convert import cast_f32_to_bf16
+    from diffusion_pullback_tpu.samplers.ddim_loop import (
+        ddim_scan,
+        make_ddim_step_fn,
+    )
+
+    cfg = dataclasses.replace(sd21_base_unet(), dtype="bfloat16",
+                              attn_impl="flash" if jax.default_backend()
+                              != "cpu" else "xla")
+    unet = UNet2DCondition(cfg)
+    # latents/embeddings stay f32 (the DDIM step math promotes the scan
+    # carry); the model computes in bf16 via cfg.dtype — the production mix
+    z = jax.random.normal(jax.random.key(0), (1, 64, 64, 4), jnp.float32)
+    ctx = jax.random.normal(jax.random.key(1), (1, 77, 1024), jnp.float32)
+    params = jax.jit(lambda k: cast_f32_to_bf16(
+        unet.init(k, z, jnp.float32(0.0), ctx)))(jax.random.key(2))
+
+    sched = DiffusionSchedule.scaled_linear()
+    grid = ddim_timestep_grid(50)
+    ts = grid.timesteps
+    tns = grid.timesteps_next
+    eps = lambda p, zz, t: unet.apply(p, zz, t, ctx)
+    out = {"metric": "sd21_loop_dispatch", "unit": "ms/step", "steps": 50}
+
+    step = jax.jit(lambda p, zz, t, tn: make_ddim_step_fn(
+        lambda q, tt: eps(p, q, tt), sched)(zz, t, tn))
+    _sync(step(params, z, ts[0], ts[1]))
+    t0 = time.perf_counter()
+    zz = z
+    for i in range(len(ts)):
+        zz = step(params, zz, ts[i], tns[i])
+    _sync(zz)
+    out["host_ms"] = round((time.perf_counter() - t0) / len(ts) * 1e3, 3)
+
+    chunk = 8
+    prog = jax.jit(lambda p, zz, tt, ttn: ddim_scan(
+        lambda q, t: eps(p, q, t), zz, sched, tt, ttn)[0])
+    # warm both program lengths (full chunk + remainder)
+    _sync(prog(params, z, ts[:chunk], tns[:chunk]))
+    _sync(prog(params, z, ts[:len(ts) % chunk or chunk],
+               tns[:len(ts) % chunk or chunk]))
+    t0 = time.perf_counter()
+    zz, i = z, 0
+    while i < len(ts):
+        zz = prog(params, zz, ts[i:i + chunk], tns[i:i + chunk])
+        i += chunk
+    _sync(zz)
+    out["chunk8_ms"] = round((time.perf_counter() - t0) / len(ts) * 1e3, 3)
+
+    try:
+        fused = jax.jit(lambda p, zz: ddim_scan(
+            lambda q, t: eps(p, q, t), zz, sched, ts, tns)[0])
+        _sync(fused(params, z))
+        t0 = time.perf_counter()
+        _sync(fused(params, z))
+        out["scan_ms"] = round((time.perf_counter() - t0) / len(ts) * 1e3, 3)
+    except Exception as e:  # fused SD-scale programs can fail on one chip
+        out["scan_ms"] = f"{type(e).__name__}"[:40]
+
+    out["value"] = out["chunk8_ms"]
+    out["vs_baseline"] = round(out["host_ms"] / out["chunk8_ms"], 3)
+    return out
+
+
 def bench_flash_tune():
     """Side mode (--flash-tune): sweep flash-forward block sizes at the hot
     self-attention shapes (SD-512 4096/1024-token levels, SDXL levels, the
@@ -665,6 +738,8 @@ if __name__ == "__main__":
         print(json.dumps(bench_bf16_pullback()))
     elif "--flash-tune" in sys.argv:
         print(json.dumps(bench_flash_tune()))
+    elif "--loop-dispatch" in sys.argv:
+        print(json.dumps(bench_loop_dispatch()))
     elif "--sd-sampling" in sys.argv:
         print(json.dumps(bench_sd_sampling()))
     elif "--config2" in sys.argv:

@@ -314,6 +314,12 @@ def preset(args):
     # family-derived input geometry (reference :207-219)
     if args.is_sdxl:
         args.c_in, args.image_size, args.memory_bound = 4, 128, 1
+        if args.loop_impl == "scan":
+            # fused >~40-step 1024px programs fault a single chip
+            # (UNAVAILABLE/RESOURCE_EXHAUSTED, measured r3 — TODO.md)
+            print("[preset] warning: --loop_impl scan at SDXL-1024 faults "
+                  "a single chip past ~40 fused steps; use 'host' or "
+                  "'chunk' unless running on a mesh")
     elif args.is_stable_diffusion:
         args.c_in, args.image_size, args.memory_bound = 4, 64, 5
     elif "CIFAR10" in args.model_name:

@@ -155,6 +155,32 @@ def test_checkpoint_save_restore(tmp_path):
     assert names == ["step_00000004", "step_00000005"]
 
 
+def test_checkpoint_multi_ema_roundtrip(tmp_path):
+    """The multi-rate EMA state (ema_params as a tuple of pytrees) survives
+    the save/restore round trip with tuple structure intact."""
+    from diffusion_pullback_tpu.training.checkpoint import CheckpointManager
+
+    model = UNet2D(ddpm_tiny(16))
+    params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                        jnp.float32(0.0))
+    opt = optax.sgd(1e-2)
+    rates = (0.0, 0.9)
+    state = create_train_state(params, opt, n_ema=len(rates))
+    step = make_train_step(lambda p, xt, t: model.apply(p, xt, t),
+                           DiffusionSchedule.linear(), opt, ema_rate=rates)
+    state, _ = jax.jit(step)(state, jnp.ones((2, 16, 16, 3)) * 0.1,
+                             jax.random.key(1))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(state)
+    restored = mgr.restore(create_train_state(params, opt, n_ema=len(rates)))
+    assert isinstance(restored.ema_params, tuple)
+    assert len(restored.ema_params) == 2
+    for a, b in zip(jax.tree.leaves(restored.ema_params),
+                    jax.tree.leaves(state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_2d_mesh_dp_probe_harvest():
     """Sweep axis over 'dp' AND probe axis over 'probe' simultaneously on a
     4x2 mesh: vmapped pullbacks whose internal probe iterate is sharded."""
