@@ -687,6 +687,32 @@ def bench_flash_tune():
     return out
 
 
+def _arm_watchdog(out, deadline_s):
+    """Hard backstop for the artifact-must-land guarantee: the per-section
+    deadline check cannot fire while a section is stuck INSIDE a backend
+    call (axon backend init has been observed to hang ~20 min when the
+    relay is down, blocked in C++ where no Python signal handler runs). A
+    daemon thread prints whatever sections completed plus an error marker
+    and hard-exits, so the driver always records a JSON line."""
+    import threading
+
+    done = threading.Event()
+
+    def _fire():
+        if done.wait(deadline_s):
+            return
+        top = {"metric": "baseline_matrix_config1_e2e", "value": None,
+               "unit": "s", "vs_baseline": None,
+               "error": f"watchdog: matrix exceeded {int(deadline_s)}s "
+                        "(backend hang?)"}
+        top.update(out)
+        print(json.dumps(top), flush=True)
+        os._exit(1)
+
+    threading.Thread(target=_fire, daemon=True).start()
+    return done
+
+
 def main():
     """Full matrix, one JSON line. Configs run in BASELINE order; a config
     that errors or starts past the deadline is recorded as skipped so the
@@ -702,6 +728,7 @@ def main():
         ("mesh", bench_mesh_pullback),
     ]
     out = {}
+    watchdog_done = _arm_watchdog(out, MATRIX_DEADLINE_SECONDS + 900)
     for name, fn in sections:
         elapsed = time.perf_counter() - t_start
         if elapsed > MATRIX_DEADLINE_SECONDS:
@@ -724,6 +751,7 @@ def main():
         "vs_baseline": c1.get("vs_baseline"),
     }
     top.update(out)
+    watchdog_done.set()
     print(json.dumps(top))
 
 
