@@ -564,16 +564,18 @@ def bench_bf16_pullback():
 
 
 def bench_loop_dispatch():
-    """Side mode (--loop-dispatch): per-step cost of a 50-step SD 2.1-512
-    DDIM trajectory under the three --loop_impl strategies. Isolates the
-    dispatch/RTT overhead the chunk mode amortizes: 'host' pays one
-    dispatch per step, 'chunk8' one per 8 steps, 'scan' one per
-    trajectory. Steady-state fenced timings (compile excluded)."""
+    """Side mode (--loop-dispatch): per-step cost of an SD 2.1-512 DDIM
+    trajectory (50-point grid = 49 steps) under the three --loop_impl
+    strategies. Isolates the dispatch/RTT overhead the chunk mode
+    amortizes: 'host' pays one dispatch per step, 'chunk8' one per 8
+    steps, 'scan' one per trajectory. Steady-state fenced timings
+    (compile excluded)."""
     import dataclasses
 
     from diffusion_pullback_tpu.models import UNet2DCondition, sd21_base_unet
     from diffusion_pullback_tpu.models.convert import cast_f32_to_bf16
     from diffusion_pullback_tpu.samplers.ddim_loop import (
+        ddim_loop_host,
         ddim_scan,
         make_ddim_step_fn,
     )
@@ -594,15 +596,14 @@ def bench_loop_dispatch():
     ts = grid.timesteps
     tns = grid.timesteps_next
     eps = lambda p, zz, t: unet.apply(p, zz, t, ctx)
-    out = {"metric": "sd21_loop_dispatch", "unit": "ms/step", "steps": 50}
+    out = {"metric": "sd21_loop_dispatch", "unit": "ms/step",
+           "steps": len(ts)}
 
     step = jax.jit(lambda p, zz, t, tn: make_ddim_step_fn(
         lambda q, tt: eps(p, q, tt), sched)(zz, t, tn))
     _sync(step(params, z, ts[0], ts[1]))
     t0 = time.perf_counter()
-    zz = z
-    for i in range(len(ts)):
-        zz = step(params, zz, ts[i], tns[i])
+    zz = ddim_loop_host(lambda q, t, tn: step(params, q, t, tn), z, ts, tns)
     _sync(zz)
     out["host_ms"] = round((time.perf_counter() - t0) / len(ts) * 1e3, 3)
 
@@ -701,11 +702,15 @@ def _arm_watchdog(out, deadline_s):
     def _fire():
         if done.wait(deadline_s):
             return
-        top = {"metric": "baseline_matrix_config1_e2e", "value": None,
-               "unit": "s", "vs_baseline": None,
+        snap = dict(out)  # snapshot: main thread may still be inserting
+        c1 = snap.get("config1")
+        c1 = c1 if isinstance(c1, dict) else {}
+        top = {"metric": "baseline_matrix_config1_e2e",
+               "value": c1.get("value"), "unit": "s",
+               "vs_baseline": c1.get("vs_baseline"),
                "error": f"watchdog: matrix exceeded {int(deadline_s)}s "
                         "(backend hang?)"}
-        top.update(out)
+        top.update(snap)
         print(json.dumps(top), flush=True)
         os._exit(1)
 
@@ -728,7 +733,12 @@ def main():
         ("mesh", bench_mesh_pullback),
     ]
     out = {}
-    watchdog_done = _arm_watchdog(out, MATRIX_DEADLINE_SECONDS + 900)
+    # hard deadline: 2x the soft one, so a section legitimately admitted
+    # just under the soft deadline still gets a full deadline's worth of
+    # time (cold SDXL compiles run 5-15 min) before being called a hang
+    hard_deadline = float(os.environ.get("DPB_BENCH_HARD_DEADLINE",
+                                         MATRIX_DEADLINE_SECONDS * 2))
+    watchdog_done = _arm_watchdog(out, hard_deadline)
     for name, fn in sections:
         elapsed = time.perf_counter() - t_start
         if elapsed > MATRIX_DEADLINE_SECONDS:

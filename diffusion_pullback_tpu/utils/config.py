@@ -190,13 +190,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pca_rank", type=int, default=2)
     p.add_argument("--pullback_chunk_size", type=int, default=0,
                    help="probe-axis chunking for memory-bound configs; 0=off")
-    p.add_argument("--loop_impl", type=str, default="scan",
-                   choices=["scan", "host", "chunk"],
+    p.add_argument("--loop_impl", type=str, default="auto",
+                   choices=["auto", "scan", "host", "chunk"],
                    help="'scan' fuses trajectories into one XLA program; "
                         "'host' re-dispatches one compiled step (fast "
                         "compile for SD/SDXL-scale nets); 'chunk' "
                         "re-dispatches fused --loop_chunk-step scans "
-                        "(amortizes dispatch RTT while programs stay small)")
+                        "(amortizes dispatch RTT while programs stay "
+                        "small); 'auto' = scan, except chunk for SDXL on "
+                        "a single accelerator chip")
     p.add_argument("--loop_chunk", type=int, default=8,
                    help="steps per fused program under --loop_impl chunk")
     p.add_argument("--matmul_precision", type=str, default="",
@@ -314,12 +316,20 @@ def preset(args):
     # family-derived input geometry (reference :207-219)
     if args.is_sdxl:
         args.c_in, args.image_size, args.memory_bound = 4, 128, 1
-        if args.loop_impl == "scan":
-            # fused >~40-step 1024px programs fault a single chip
-            # (UNAVAILABLE/RESOURCE_EXHAUSTED, measured r3 — TODO.md)
+        # fused >~40-step 1024px programs fault a single chip
+        # (UNAVAILABLE/RESOURCE_EXHAUSTED, measured r3 — TODO.md)
+        import jax
+
+        _single_chip = (jax.default_backend() != "cpu"
+                        and len(jax.devices()) == 1)
+        if args.loop_impl == "auto" and _single_chip:
+            args.loop_impl = "chunk"
+            print("[preset] --loop_impl auto -> chunk (SDXL-1024 fused "
+                  ">~40-step scans fault a single chip)")
+        elif args.loop_impl == "scan" and _single_chip:
             print("[preset] warning: --loop_impl scan at SDXL-1024 faults "
-                  "a single chip past ~40 fused steps; use 'host' or "
-                  "'chunk' unless running on a mesh")
+                  "a single chip past ~40 fused steps; use 'chunk' or "
+                  "'host'")
     elif args.is_stable_diffusion:
         args.c_in, args.image_size, args.memory_bound = 4, 64, 5
     elif "CIFAR10" in args.model_name:
@@ -327,6 +337,8 @@ def preset(args):
     else:
         args.c_in, args.image_size, args.memory_bound = 3, 256, 50
         args.noise_schedule = "linear"
+    if args.loop_impl == "auto":  # everywhere else the fused scan is best
+        args.loop_impl = "scan"
 
     # asserts (reference :224-231)
     assert args.use_yh_custom_scheduler

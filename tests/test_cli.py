@@ -141,3 +141,19 @@ def test_weights_dtype_sd_casts_unet_only(tmp_path, monkeypatch):
     assert f(drv.unet_params) == {jnp.dtype(jnp.bfloat16)}
     assert f(drv.vae_params) == {jnp.dtype(jnp.float32)}
     assert f(drv.text_params) == {jnp.dtype(jnp.float32)}
+
+
+def test_loop_impl_auto_resolution(tmp_path):
+    """'auto' resolves to 'scan' everywhere on the CPU test platform (the
+    SDXL single-chip downgrade to 'chunk' is accelerator-only); explicit
+    values pass through untouched."""
+    args = preset(parse_args(_base_argv(tmp_path)))
+    assert args.loop_impl == "scan"
+    args = preset(parse_args(_base_argv(tmp_path, **{
+        "--model_name": "stabilityai/stable-diffusion-xl-base-1.0",
+        "--performance_boosting_t": "0.0"})))
+    assert args.loop_impl == "scan"  # cpu backend: no single-chip downgrade
+    args = preset(parse_args(_base_argv(tmp_path, **{
+        "--model_name": "stabilityai/stable-diffusion-xl-base-1.0",
+        "--performance_boosting_t": "0.0", "--loop_impl": "chunk"})))
+    assert args.loop_impl == "chunk"
