@@ -157,3 +157,19 @@ def test_loop_impl_auto_resolution(tmp_path):
         "--model_name": "stabilityai/stable-diffusion-xl-base-1.0",
         "--performance_boosting_t": "0.0", "--loop_impl": "chunk"})))
     assert args.loop_impl == "chunk"
+
+
+def test_loop_impl_auto_sdxl_single_chip_downgrade(tmp_path, monkeypatch):
+    """On a single accelerator chip, 'auto' downgrades to 'chunk' for SDXL
+    (fused >~40-step 1024px programs fault); explicit 'scan' is honored
+    (with a warning) so mesh/CPU users keep the fused program."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(jax, "devices", lambda *a: [object()])
+    sdxl = {"--model_name": "stabilityai/stable-diffusion-xl-base-1.0",
+            "--performance_boosting_t": "0.0", "--dtype": "bf16",
+            "--attn_impl": "xla"}
+    args = preset(parse_args(_base_argv(tmp_path, **sdxl)))
+    assert args.loop_impl == "chunk"
+    args = preset(parse_args(_base_argv(
+        tmp_path, **{**sdxl, "--loop_impl": "scan"})))
+    assert args.loop_impl == "scan"
