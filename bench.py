@@ -638,11 +638,16 @@ def bench_loop_dispatch():
 
 
 def bench_flash_tune():
-    """Side mode (--flash-tune): sweep flash-forward block sizes at the hot
+    """Side mode (--flash-tune): sweep flash block sizes at the hot
     self-attention shapes (SD-512 4096/1024-token levels, SDXL levels, the
-    VAE mid block) to validate the 512×512 default on real hardware."""
+    VAE mid block) to validate the 512×512 default on real hardware.
+    Sweeps all three kernels — forward (sampling), backward and tangent
+    (the pullback's custom_vjp/custom_jvp pair)."""
     from diffusion_pullback_tpu.ops.pallas.flash_attention import (
+        _flash_backward,
         _flash_forward,
+        _flash_forward_lse,
+        _flash_tangent,
     )
 
     shapes = [
@@ -655,23 +660,19 @@ def bench_flash_tune():
     ]
     out = {"metric": "flash_block_tune", "value": 0, "unit": "ms",
            "vs_baseline": 1.0}
-    for label, bh, s, d in shapes:
-        q = jax.random.normal(jax.random.key(0), (bh, s, d), jnp.bfloat16)
-        k = jax.random.normal(jax.random.key(1), (bh, s, d), jnp.bfloat16)
-        v = jax.random.normal(jax.random.key(2), (bh, s, d), jnp.bfloat16)
+    def _sweep(s, make_fn, args):
         rows = {}
         for bq in (256, 512, 1024):
             for bk in (256, 512, 1024):
                 if s % bq or s % bk or bq > s or bk > s:
                     continue
                 try:
-                    f = jax.jit(lambda q, k, v, bq=bq, bk=bk: _flash_forward(
-                        q, k, v, d ** -0.5, block_q=bq, block_k=bk))
-                    _sync(f(q, k, v))
+                    f = jax.jit(make_fn(bq, bk))
+                    _sync(f(*args))
                     n = 30
                     t0 = time.perf_counter()
                     for _ in range(n):
-                        o = f(q, k, v)
+                        o = f(*args)
                     _sync(o)
                     rows[f"{bq}x{bk}"] = round(
                         (time.perf_counter() - t0) / n * 1e3, 4)
@@ -679,7 +680,31 @@ def bench_flash_tune():
                     rows[f"{bq}x{bk}"] = f"{type(e).__name__}"[:40]
         timed = {kk: vv for kk, vv in rows.items() if isinstance(vv, float)}
         best = min(timed, key=timed.get) if timed else None
-        out[label] = {"best": best, "ms": rows}
+        return {"best": best, "ms": rows}
+
+    for label, bh, s, d in shapes:
+        sc = d ** -0.5
+        ks = [jax.random.normal(jax.random.key(i), (bh, s, d), jnp.bfloat16)
+              for i in range(6)]
+        q, k, v, do, dq, dk = ks
+        dv = do
+        out[label] = _sweep(
+            s, lambda bq, bk: (lambda q, k, v: _flash_forward(
+                q, k, v, sc, block_q=bq, block_k=bk)), (q, k, v))
+        # residuals for the differentiated kernels (defaults; the sweep
+        # varies only the kernel under test)
+        o, lse = jax.jit(lambda q, k, v: _flash_forward_lse(
+            q, k, v, sc))(q, k, v)
+        out[label + "_bwd"] = _sweep(
+            s, lambda bq, bk: (lambda q, k, v, o, do, lse: _flash_backward(
+                q, k, v, o, do, lse, sc, block_q=bq, block_k=bk)),
+            (q, k, v, o, do, lse))
+        out[label + "_jvp"] = _sweep(
+            s, lambda bq, bk: (
+                lambda q, k, v, dq, dk, dv, o, lse: _flash_tangent(
+                    q, k, v, dq, dk, dv, o, lse, sc,
+                    block_q=bq, block_k=bk)),
+            (q, k, v, dq, dk, dv, o, lse))
     d512 = [v for v in out.values()
             if isinstance(v, dict) and isinstance(
                 v.get("ms", {}).get("512x512"), float)]
