@@ -779,11 +779,16 @@ def main():
             out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     c1 = out.get("config1", {})
+    try:
+        backend = jax.default_backend()
+    except Exception as e:
+        backend = f"unavailable: {type(e).__name__}"
     top = {
         "metric": "baseline_matrix_config1_e2e",
         "value": c1.get("value"),
         "unit": "s",
         "vs_baseline": c1.get("vs_baseline"),
+        "backend": backend,
     }
     top.update(out)
     watchdog_done.set()
