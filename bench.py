@@ -637,12 +637,16 @@ def bench_loop_dispatch():
     return out
 
 
-def bench_flash_tune():
+def bench_flash_tune(apply=False):
     """Side mode (--flash-tune): sweep flash block sizes at the hot
     self-attention shapes (SD-512 4096/1024-token levels, SDXL levels, the
     VAE mid block) to validate the 512×512 default on real hardware.
     Sweeps all three kernels — forward (sampling), backward and tangent
-    (the pullback's custom_vjp/custom_jvp pair)."""
+    (the pullback's custom_vjp/custom_jvp pair). With ``apply`` (CLI
+    --apply), winners that beat the 512×512 default by >2% are persisted
+    into ops/pallas/flash_tuned.json, which the kernels consult per
+    (kind, Sq, Sk, D) on every subsequent run."""
+    from diffusion_pullback_tpu.ops.pallas import flash_attention as fa
     from diffusion_pullback_tpu.ops.pallas.flash_attention import (
         _flash_backward,
         _flash_forward,
@@ -710,6 +714,32 @@ def bench_flash_tune():
                 v.get("ms", {}).get("512x512"), float)]
     if d512:
         out["value"] = round(sum(v["ms"]["512x512"] for v in d512), 4)
+
+    if apply:
+        tuned = dict(fa._tuned_table())
+        applied = {}
+        for label, bh, s, d in shapes:
+            for suffix, kind in (("", "fwd"), ("_bwd", "bwd"),
+                                 ("_jvp", "jvp")):
+                row = out.get(label + suffix, {})
+                ms, best = row.get("ms", {}), row.get("best")
+                base = ms.get("512x512")
+                if (best and best != "512x512"
+                        and isinstance(ms.get(best), float)
+                        and isinstance(base, float)
+                        and ms[best] < base * 0.98):
+                    bq, bk = (int(x) for x in best.split("x"))
+                    key = f"{kind}:{s}x{s}:d{d}"
+                    tuned[key] = [bq, bk]
+                    applied[key] = {"blocks": [bq, bk],
+                                    "speedup": round(base / ms[best], 3)}
+        if applied:
+            tmp = fa._TUNED_PATH + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(tuned, f, indent=1, sort_keys=True)
+            os.replace(tmp, fa._TUNED_PATH)
+            fa._TUNED = None  # reload on next kernel call
+        out["applied"] = applied
     return out
 
 
@@ -805,7 +835,7 @@ if __name__ == "__main__":
     elif "--bf16" in sys.argv:
         print(json.dumps(bench_bf16_pullback()))
     elif "--flash-tune" in sys.argv:
-        print(json.dumps(bench_flash_tune()))
+        print(json.dumps(bench_flash_tune(apply="--apply" in sys.argv)))
     elif "--loop-dispatch" in sys.argv:
         print(json.dumps(bench_loop_dispatch()))
     elif "--sd-sampling" in sys.argv:

@@ -52,6 +52,22 @@ class DriverCommonMixin:
             return TapPoint(op, block_idx, inner)
         return TapPoint(op, block_idx)
 
+    def _place_weights(self, params):
+        """Place a weight tree onto the configured mesh: Megatron
+        tensor-parallel layout when the mesh has a 'tp' axis (parallel/tp.py
+        — attention/MLP projections column/row-sharded, GSPMD inserts the
+        collectives), full replication otherwise. No mesh → unchanged."""
+        mesh = self.cfg.mesh
+        if mesh is None:
+            return params
+        if "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
+            from ..parallel import tp_shard_params
+
+            return tp_shard_params(params, mesh)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
+
     def _harvest_dp(self, n_items: int, log_name: str) -> int:
         """dp-axis size when the configured mesh can shard an n-item sweep
         (0 = run sequentially on one device)."""

@@ -174,14 +174,15 @@ class EditStableDiffusion(DriverCommonMixin):
 
         self._jit_cache = {}
 
-        # replicate weights over the configured mesh once so every jitted
-        # program (mesh-sharded or not) sees consistently-placed inputs
+        # place weights on the configured mesh once: the U-Net (the
+        # memory/compute-dominant tree) gets the tensor-parallel layout when
+        # the mesh has a 'tp' axis; the VAE stays replicated
+        self.unet_params = self._place_weights(self.unet_params)
         if config.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
-            repl = NamedSharding(config.mesh, PartitionSpec())
-            self.unet_params = jax.device_put(self.unet_params, repl)
-            self.vae_params = jax.device_put(self.vae_params, repl)
+            self.vae_params = jax.device_put(
+                self.vae_params, NamedSharding(config.mesh, PartitionSpec()))
 
     # ---- prompt / tap hooks (overridden by the SDXL driver) ----------------
 

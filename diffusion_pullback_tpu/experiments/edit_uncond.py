@@ -151,14 +151,10 @@ class EditUncondDiffusion(DriverCommonMixin):
             model.config, "sample_size", None
         ) or model.config.image_size
 
-        # replicate weights over the configured mesh once so every jitted
-        # program (mesh-sharded or not) sees consistently-placed inputs
-        if config.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            self.params = jax.device_put(
-                self.params, NamedSharding(config.mesh, PartitionSpec())
-            )
+        # place weights on the configured mesh once (replicated, or
+        # tensor-parallel when the mesh has a 'tp' axis) so every jitted
+        # program sees consistently-placed inputs
+        self.params = self._place_weights(self.params)
 
     # ---- building blocks --------------------------------------------------
     # NOTE: params are always explicit jit arguments — closing over them

@@ -22,6 +22,8 @@ SDXL mid 16384 (BASELINE config 5).
 from __future__ import annotations
 
 import functools
+import json
+import os
 from typing import Optional
 
 import jax
@@ -30,6 +32,62 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+
+# Every kernel below carries its online-softmax / accumulator scratch state
+# only across the INNERMOST grid axis; the (B·H) and outer block axes are
+# embarrassingly parallel. Declaring that lets Mosaic reorder/parallelize
+# the outer axes instead of assuming a fully sequential grid.
+_GRID_SEMANTICS = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "parallel", "arbitrary"))
+
+# ---- block-size selection ---------------------------------------------------
+# 512×512 is the hardware-validated default for every kernel. Running
+# `bench.py --flash-tune --apply` on real hardware sweeps the hot shapes and
+# persists any >2% winners into flash_tuned.json next to this module; the
+# kernels consult that table per (kind, Sq, Sk, D) so a re-tune never needs
+# a code change. Explicit block_q/block_k arguments always win (the sweep
+# itself uses them).
+
+_DEFAULT_BLOCK = 512
+_TUNED_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "flash_tuned.json")
+_TUNED: Optional[dict] = None
+
+
+def _tuned_table() -> dict:
+    """Lazy-load {"{kind}:{sq}x{sk}:d{d}": [block_q, block_k]} written by
+    `bench.py --flash-tune --apply`; missing/corrupt file → empty table."""
+    global _TUNED
+    if _TUNED is None:
+        try:
+            with open(_TUNED_PATH) as f:
+                _TUNED = {k: tuple(v) for k, v in json.load(f).items()}
+        except (OSError, ValueError, TypeError):
+            _TUNED = {}
+    return _TUNED
+
+
+def _blocks(kind: str, sq: int, sk: int, d: int,
+            block_q: Optional[int] = None,
+            block_k: Optional[int] = None) -> tuple:
+    """Resolve kernel block sizes: explicit args win, then the tuned table,
+    then the default. A stale tuned entry that no longer divides the
+    sequence falls back to the default silently; explicit non-divisible
+    arguments raise (caller asked for exactly that tiling)."""
+    if block_q is None and block_k is None:
+        block_q, block_k = _tuned_table().get(
+            f"{kind}:{sq}x{sk}:d{d}", (_DEFAULT_BLOCK, _DEFAULT_BLOCK))
+        if sq % min(block_q, sq) or sk % min(block_k, sk):
+            block_q = block_k = _DEFAULT_BLOCK
+    else:
+        block_q = _DEFAULT_BLOCK if block_q is None else block_q
+        block_k = _DEFAULT_BLOCK if block_k is None else block_k
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    if sq % block_q or sk % block_k:
+        raise ValueError(f"sequence ({sq},{sk}) not divisible by blocks "
+                         f"({block_q},{block_k})")
+    return block_q, block_k
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
@@ -74,16 +132,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale):
 
 def _flash_forward(
     q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
-    block_q: int = 512, block_k: int = 512, interpret: bool = False,
+    block_q: Optional[int] = None, block_k: Optional[int] = None,
+    interpret: bool = False,
 ) -> jax.Array:
     """q: (BH, Sq, D), k/v: (BH, Sk, D) → (BH, Sq, D)."""
     bh, sq, d = q.shape
     sk = k.shape[1]
-    block_q = min(block_q, sq)
-    block_k = min(block_k, sk)
-    if sq % block_q or sk % block_k:
-        raise ValueError(f"sequence ({sq},{sk}) not divisible by blocks "
-                         f"({block_q},{block_k})")
+    block_q, block_k = _blocks("fwd", sq, sk, d, block_q, block_k)
     grid = (bh, sq // block_q, sk // block_k)
 
     return pl.pallas_call(
@@ -101,6 +156,7 @@ def _flash_forward(
             pltpu.VMEM((block_q, 128), jnp.float32),  # normalizer
             pltpu.VMEM((block_q, d), jnp.float32),    # output accumulator
         ],
+        compiler_params=_GRID_SEMANTICS,
         interpret=interpret,
     )(q, k, v)
 
@@ -148,12 +204,11 @@ def _flash_fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         ).astype(jnp.float32)
 
 
-def _flash_forward_lse(q, k, v, scale, block_q=512, block_k=512,
+def _flash_forward_lse(q, k, v, scale, block_q=None, block_k=None,
                        interpret=False):
     bh, sq, d = q.shape
     sk = k.shape[1]
-    block_q = min(block_q, sq)
-    block_k = min(block_k, sk)
+    block_q, block_k = _blocks("fwd", sq, sk, d, block_q, block_k)
     grid = (bh, sq // block_q, sk // block_k)
     return pl.pallas_call(
         functools.partial(_flash_fwd_lse_kernel, scale=scale),
@@ -176,6 +231,7 @@ def _flash_forward_lse(q, k, v, scale, block_q=512, block_k=512,
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
+        compiler_params=_GRID_SEMANTICS,
         interpret=interpret,
     )(q, k, v)
 
@@ -260,12 +316,11 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref,
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _flash_backward(q, k, v, o, do, lse, scale, block_q=512, block_k=512,
+def _flash_backward(q, k, v, o, do, lse, scale, block_q=None, block_k=None,
                     interpret=False):
     bh, sq, d = q.shape
     sk = k.shape[1]
-    block_q = min(block_q, sq)
-    block_k = min(block_k, sk)
+    block_q, block_k = _blocks("bwd", sq, sk, d, block_q, block_k)
     # δ_i = Σ_d dO_i O_i — tiny elementwise reduce, fine in XLA; broadcast to
     # the 128-lane layout the kernels read
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
@@ -285,6 +340,7 @@ def _flash_backward(q, k, v, o, do, lse, scale, block_q=512, block_k=512,
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=_GRID_SEMANTICS,
         interpret=interpret,
     )(q, k, v, do, lse, delta)
 
@@ -311,6 +367,7 @@ def _flash_backward(q, k, v, o, do, lse, scale, block_q=512, block_k=512,
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
+        compiler_params=_GRID_SEMANTICS,
         interpret=interpret,
     )(q, k, v, do, lse, delta)
     return dq, dk, dv
@@ -389,11 +446,10 @@ def _flash_tangent_kernel(q_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref,
 
 
 def _flash_tangent(q, k, v, dq, dk, dv, o, lse, scale,
-                   block_q=512, block_k=512, interpret=False):
+                   block_q=None, block_k=None, interpret=False):
     bh, sq, d = q.shape
     sk = k.shape[1]
-    block_q = min(block_q, sq)
-    block_k = min(block_k, sk)
+    block_q, block_k = _blocks("jvp", sq, sk, d, block_q, block_k)
     grid = (bh, sq // block_q, sk // block_k)
     qspec = pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0))
     kspec = pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0))
@@ -410,6 +466,7 @@ def _flash_tangent(q, k, v, dq, dk, dv, o, lse, scale,
             pltpu.VMEM((block_q, d), jnp.float32),    # tangent accumulator
             pltpu.VMEM((block_q, 128), jnp.float32),  # rowsum(p∘ṡ)
         ],
+        compiler_params=_GRID_SEMANTICS,
         interpret=interpret,
     )(q, k, v, dq, dk, dv, o, lse)
 

@@ -52,11 +52,19 @@ def make_mesh(
     `mesh_shape_for`. Works identically on real TPU slices and on the
     xla_force_host_platform_device_count CPU fake used in tests.
     """
+    explicit_devices = devices is not None
     devices = list(devices if devices is not None else jax.devices())
     if shape is None:
         shape = mesh_shape_for(len(devices), axes)
     dims = [shape[a] for a in axes]
     if math.prod(dims) != len(devices):
-        raise ValueError(f"mesh shape {shape} does not cover {len(devices)} devices")
+        # an explicit shape smaller than the machine (e.g. --mesh_axes tp:2
+        # on an 8-chip host) takes a device prefix; anything else is a
+        # genuine mismatch
+        if not explicit_devices and 0 < math.prod(dims) < len(devices):
+            devices = devices[: math.prod(dims)]
+        else:
+            raise ValueError(
+                f"mesh shape {shape} does not cover {len(devices)} devices")
     dev_array = np.asarray(devices).reshape(dims)
     return Mesh(dev_array, axis_names=tuple(axes))

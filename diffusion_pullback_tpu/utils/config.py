@@ -132,7 +132,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample_idx_1", type=int, default=0)
     # ---- TPU-native additions --------------------------------------------
     p.add_argument("--mesh_axes", type=str, default="",
-                   help="e.g. 'dp:2,probe:4'; empty = single device")
+                   help="e.g. 'dp:2,probe:4' or 'tp:4' (tensor-parallel "
+                        "weight layout); empty = single device")
     p.add_argument("--attn_impl", type=str, default="auto",
                    choices=["auto", "xla", "blockwise", "flash"])
     p.add_argument("--dynamic_thresholding_q", type=float, default=0.8)

@@ -99,3 +99,91 @@ def test_blockwise_non_divisible_seq():
     out = blockwise_attention(q, k, v, block_k=64)
     np.testing.assert_allclose(np.asarray(out), np.asarray(xla_attention(q, k, v)),
                                atol=2e-5)
+
+
+class TestTunedBlockTable:
+    """flash_tuned.json plumbing: kernels consult the per-shape table
+    written by `bench.py --flash-tune --apply`; stale entries fall back."""
+
+    def _qkv(self, s, d=128, key=7):
+        kq, kk, kv = jax.random.split(jax.random.key(key), 3)
+        return (jax.random.normal(kq, (1, s, 1, d), jnp.float32),
+                jax.random.normal(kk, (1, s, 1, d), jnp.float32),
+                jax.random.normal(kv, (1, s, 1, d), jnp.float32))
+
+    def test_tuned_entry_selects_blocks_and_stays_correct(self, monkeypatch):
+        from diffusion_pullback_tpu.ops.pallas import flash_attention as fa
+
+        monkeypatch.setattr(fa, "_TUNED", {"fwd:256x256:d128": (128, 128)})
+        assert fa._blocks("fwd", 256, 256, 128) == (128, 128)
+        # other kinds/shapes keep the default
+        assert fa._blocks("bwd", 256, 256, 128) == (256, 256)
+        assert fa._blocks("fwd", 512, 512, 128) == (512, 512)
+        q, k, v = self._qkv(256)
+        out = flash_attention(q, k, v, interpret=True)  # runs at 128×128
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(xla_attention(q, k, v)), atol=2e-5)
+
+    def test_stale_nondivisible_entry_falls_back(self, monkeypatch):
+        from diffusion_pullback_tpu.ops.pallas import flash_attention as fa
+
+        monkeypatch.setattr(fa, "_TUNED", {"fwd:192x192:d128": (128, 128)})
+        # 192 % 128 != 0 → silently fall back to the clamped default
+        assert fa._blocks("fwd", 192, 192, 128) == (192, 192)
+        q, k, v = self._qkv(192)
+        out = flash_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(xla_attention(q, k, v)), atol=2e-5)
+
+    def test_explicit_nondivisible_blocks_raise(self):
+        from diffusion_pullback_tpu.ops.pallas import flash_attention as fa
+
+        with pytest.raises(ValueError, match="not divisible"):
+            fa._blocks("fwd", 192, 192, 128, 128, 128)
+
+    def test_tuned_backward_and_tangent_kernels(self, monkeypatch):
+        from diffusion_pullback_tpu.ops.pallas import flash_attention as fa
+        from diffusion_pullback_tpu.ops.pallas.flash_attention import (
+            flash_attention_jvp,
+        )
+
+        monkeypatch.setattr(fa, "_TUNED", {
+            "fwd:256x256:d128": (128, 256),
+            "bwd:256x256:d128": (128, 128),
+            "jvp:256x256:d128": (256, 128),
+        })
+        q, k, v = self._qkv(256, key=11)
+        f_flash = lambda q, k, v: flash_attention(
+            q, k, v, interpret=True).sum()
+        f_xla = lambda q, k, v: xla_attention(q, k, v).sum()
+        g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+        g_xla = jax.grad(f_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_flash, g_xla):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-5)
+        tangents = self._qkv(256, key=13)
+        o_f, do_f = jax.jvp(
+            lambda *a: flash_attention_jvp(*a, interpret=True),
+            (q, k, v), tangents)
+        o_x, do_x = jax.jvp(xla_attention, (q, k, v), tangents)
+        np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_x),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(do_f), np.asarray(do_x),
+                                   atol=3e-5)
+
+    def test_apply_writes_and_kernels_reload(self, monkeypatch, tmp_path):
+        """bench --flash-tune --apply file format round-trips through the
+        loader (written dict → _tuned_table → _blocks)."""
+        import json as _json
+
+        from diffusion_pullback_tpu.ops.pallas import flash_attention as fa
+
+        path = tmp_path / "flash_tuned.json"
+        path.write_text(_json.dumps({"fwd:4096x4096:d64": [1024, 512]}))
+        monkeypatch.setattr(fa, "_TUNED_PATH", str(path))
+        monkeypatch.setattr(fa, "_TUNED", None)
+        assert fa._blocks("fwd", 4096, 4096, 64) == (1024, 512)
+        # corrupt file → empty table → defaults
+        path.write_text("{broken")
+        monkeypatch.setattr(fa, "_TUNED", None)
+        assert fa._blocks("fwd", 4096, 4096, 64) == (512, 512)

@@ -257,3 +257,32 @@ def test_prompt_sweep_fills_cache_with_edit_path_values(tmp_path):
     np.testing.assert_allclose(
         (swept["vT"] @ edited["vT"].T).diagonal(), 1.0, atol=1e-4
     )
+
+
+def test_tp_mesh_matches_single_device(tmp_path):
+    """A ('tp',) mesh tensor-parallelizes the weights (parallel/tp.py) under
+    the SAME driver pipeline: inversion -> forward -> pullback basis must
+    match the single-device run."""
+    d0 = _driver(tmp_path, None, "0")
+    d3 = _driver(tmp_path, make_mesh(("tp",), shape={"tp": 2},
+                                     devices=jax.devices()[:2]), "3")
+    # the attention projections actually sharded
+    from diffusion_pullback_tpu.parallel import (
+        tp_param_specs,
+        tp_sharded_leaf_count,
+    )
+
+    assert tp_sharded_leaf_count(
+        tp_param_specs(d0.params, d3.cfg.mesh)) >= 4
+    tap = TapPoint("mid", 0)
+
+    xt = d0.forward_to_edit_t(d0.run_ddim_inversion(0))
+    t = d0.fwd_grid.timesteps[d0.edit_t_idx]
+    r0 = d0.compute_local_basis(xt, t, tap, 8)
+
+    xt3 = d3.forward_to_edit_t(d3.run_ddim_inversion(0))
+    r3 = d3.compute_local_basis(xt3, t, tap, 8)
+
+    np.testing.assert_allclose(np.asarray(r0.s), np.asarray(r3.s), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(r0.vT), np.asarray(r3.vT),
+                               atol=1e-4)

@@ -59,6 +59,16 @@ def test_sharded_pullback_matches_single_device():
     assert len(res_sh.vT.sharding.device_set) == 8
 
 
+def test_make_mesh_explicit_shape_takes_device_prefix():
+    """`--mesh_axes tp:2` on an 8-device host must build a 2-device mesh
+    (device prefix), not fail coverage; explicit devices still enforce it."""
+    mesh = make_mesh(("tp",), shape={"tp": 2})
+    assert dict(mesh.shape) == {"tp": 2}
+    assert list(mesh.devices.flat) == jax.devices()[:2]
+    with pytest.raises(ValueError, match="does not cover"):
+        make_mesh(("tp",), shape={"tp": 2}, devices=jax.devices()[:4])
+
+
 def test_dp_sharded_train_step():
     """One diffusion train step with batch sharded over dp and params
     replicated; loss must match the unsharded step bit-for-bit-ish."""
@@ -212,3 +222,98 @@ def test_2d_mesh_dp_probe_harvest():
     np.testing.assert_allclose(np.asarray(out.s), np.asarray(ref.s), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(out.vT), np.asarray(ref.vT), atol=1e-4)
     assert len(out.vT.sharding.device_set) == 8  # uses the whole mesh
+
+
+class TestTensorParallel:
+    """Megatron-layout TP via parameter shardings (parallel/tp.py): the
+    unchanged forward under GSPMD must match the single-device result."""
+
+    def _sd(self):
+        import numpy as _np
+
+        from diffusion_pullback_tpu.models import UNet2DCondition
+        from diffusion_pullback_tpu.models.configs import sd_tiny_unet
+
+        model = UNet2DCondition(sd_tiny_unet(8))
+        x = jnp.asarray(_np.random.default_rng(0).normal(size=(1, 8, 8, 4)),
+                        jnp.float32)
+        ctx = jnp.asarray(_np.random.default_rng(1).normal(size=(1, 7, 16)),
+                          jnp.float32)
+        t = jnp.float32(321.0)
+        params = model.init(jax.random.key(0), x, t, ctx)
+        return model, params, x, t, ctx
+
+    def test_specs_shard_attention_projections_only(self):
+        from diffusion_pullback_tpu.parallel import (
+            tp_param_specs,
+            tp_sharded_leaf_count,
+        )
+
+        model, params, x, t, ctx = self._sd()
+        mesh = make_mesh(("tp",), shape={"tp": 2}, devices=jax.devices()[:2])
+        specs = tp_param_specs(params, mesh)
+        flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+        by_name = {}
+        for path, s in flat:
+            names = [p.key for p in path if hasattr(p, "key")]
+            by_name.setdefault((names[-2], names[-1]), set()).add(s.spec)
+        # column-parallel: qkv kernels shard the output axis
+        assert by_name[("to_q", "kernel")] == {P(None, "tp")}
+        assert by_name[("to_v", "kernel")] == {P(None, "tp")}
+        # row-parallel: out-projection kernels shard the input axis
+        assert by_name[("to_out", "kernel")] == {P("tp", None)}
+        assert by_name[("net_2", "kernel")] == {P("tp", None)}
+        # row-parallel bias and norms replicate
+        assert by_name[("to_out", "bias")] == {P()}
+        assert all(s == {P()} for (owner, leaf), s in by_name.items()
+                   if "norm" in owner)
+        assert tp_sharded_leaf_count(specs) >= 10
+
+    @pytest.mark.parametrize("tp_size", [2, 4])
+    def test_sd_forward_parity(self, tp_size):
+        from diffusion_pullback_tpu.parallel import tp_shard_params
+
+        model, params, x, t, ctx = self._sd()
+        ref = jax.jit(model.apply)(params, x, t, ctx)
+        mesh = make_mesh(("tp",), shape={"tp": tp_size},
+                         devices=jax.devices()[:tp_size])
+        params_tp = tp_shard_params(params, mesh)
+        with mesh:
+            out = jax.jit(model.apply)(params_tp, x, t, ctx)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
+    def test_uncond_forward_parity(self):
+        from diffusion_pullback_tpu.models import ddpm_tiny
+        from diffusion_pullback_tpu.parallel import tp_shard_params
+
+        model = UNet2D(ddpm_tiny(16))
+        x = jnp.asarray(
+            np.random.default_rng(3).normal(size=(1, 16, 16, 3)), jnp.float32)
+        t = jnp.float32(400.0)
+        params = model.init(jax.random.key(1), x, t)
+        ref = jax.jit(model.apply)(params, x, t)
+        mesh = make_mesh(("tp",), shape={"tp": 2}, devices=jax.devices()[:2])
+        params_tp = tp_shard_params(params, mesh)
+        with mesh:
+            out = jax.jit(model.apply)(params_tp, x, t)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
+    def test_composes_with_dp_batch_axis(self):
+        """('dp','tp') mesh: batch over dp, weights over tp, one jit."""
+        from diffusion_pullback_tpu.parallel import tp_shard_params
+
+        model, params, x, t, ctx = self._sd()
+        xb = jnp.concatenate([x] * 4)
+        cb = jnp.concatenate([ctx] * 4)
+        ref = jax.jit(model.apply)(params, xb, t, cb)
+        mesh = make_mesh(("dp", "tp"), shape={"dp": 2, "tp": 2},
+                         devices=jax.devices()[:4])
+        params_tp = tp_shard_params(params, mesh)
+        xb_sh = jax.device_put(xb, NamedSharding(mesh, P("dp")))
+        cb_sh = jax.device_put(cb, NamedSharding(mesh, P("dp")))
+        with mesh:
+            out = jax.jit(model.apply)(params_tp, xb_sh, t, cb_sh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
