@@ -56,8 +56,14 @@ class DriverCommonMixin:
         """Place a weight tree onto the configured mesh: Megatron
         tensor-parallel layout when the mesh has a 'tp' axis (parallel/tp.py
         — attention/MLP projections column/row-sharded, GSPMD inserts the
-        collectives), full replication otherwise. No mesh → unchanged."""
+        collectives), full replication otherwise. An 'sp' axis additionally
+        publishes the mesh for ring attention (`attention(impl='ring')`).
+        No mesh → unchanged."""
         mesh = self.cfg.mesh
+        if mesh is not None and "sp" in mesh.axis_names and mesh.shape["sp"] > 1:
+            from ..parallel import set_ring_mesh
+
+            set_ring_mesh(mesh)
         if mesh is None:
             return params
         if "tp" in mesh.axis_names and mesh.shape["tp"] > 1:

@@ -71,6 +71,14 @@ def attention(
                     (custom_jvp): for jax.jvp/linearize'd paths (the
                     pullback's tangent half). No transpose/reverse rule —
                     pair with 'flash' via local_pullback's fn_vjp.
+      'ring'      — sequence-parallel exact attention over the mesh published
+                    via parallel.ring_attention.set_ring_mesh (an 'sp' axis):
+                    S shards over devices, K/V rotate with ppermute, partials
+                    merge by row LSE. Inner kernel: fused Pallas LSE on
+                    accelerators (primal-only — same discipline as 'flash'),
+                    XLA on CPU (differentiable both modes). Falls back to the
+                    dense path when no mesh is set, the sequence doesn't
+                    divide, or shards drop below MIN_SHARD_TOKENS rows.
       'auto'      — safe default: blockwise for long sequences, else xla.
                     Deliberately avoids 'flash' because this dispatcher can't
                     see whether it is inside forward-mode AD.
@@ -95,6 +103,25 @@ def attention(
         from .pallas.flash_attention import flash_attention_jvp
 
         return flash_attention_jvp(q, k, v, scale, interpret=interpret)
+    if impl == "ring":
+        from ..parallel.ring_attention import (
+            MIN_SHARD_TOKENS,
+            get_ring_mesh,
+            ring_attention,
+        )
+
+        mesh, axis = get_ring_mesh()
+        n = int(mesh.shape[axis]) if mesh is not None else 1
+        sq, sk = q.shape[1], k.shape[1]
+        if (n > 1 and sq % n == 0 and sk % n == 0
+                and min(sq, sk) // n >= MIN_SHARD_TOKENS):
+            return ring_attention(
+                q, k, v, scale, mesh=mesh, axis=axis, precision=precision,
+                interpret=jax.default_backend() == "cpu",
+            )
+        if q.shape[1] >= 1024 and k.shape[1] >= 1024:
+            return blockwise_attention(q, k, v, scale, precision=precision)
+        return xla_attention(q, k, v, scale, precision)
     if impl == "auto":
         seq_q, seq_k = q.shape[1], k.shape[1]
         if seq_q >= 1024 and seq_k >= 1024:

@@ -132,10 +132,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample_idx_1", type=int, default=0)
     # ---- TPU-native additions --------------------------------------------
     p.add_argument("--mesh_axes", type=str, default="",
-                   help="e.g. 'dp:2,probe:4' or 'tp:4' (tensor-parallel "
-                        "weight layout); empty = single device")
+                   help="e.g. 'dp:2,probe:4', 'tp:4' (tensor-parallel "
+                        "weight layout) or 'sp:4' (ring attention); "
+                        "empty = single device")
     p.add_argument("--attn_impl", type=str, default="auto",
-                   choices=["auto", "xla", "blockwise", "flash"])
+                   choices=["auto", "xla", "blockwise", "flash", "ring"])
     p.add_argument("--dynamic_thresholding_q", type=float, default=0.8)
     p.add_argument("--sega_reg_sigma", type=float, default=1.0)
     p.add_argument("--edit_ht", type=str, default="default",
@@ -309,7 +310,13 @@ def preset(args):
     if args.attn_impl == "auto":
         import jax
 
-        if jax.default_backend() != "cpu":
+        if "sp" in [a.split(":")[0] for a in args.mesh_axes.split(",") if a]:
+            # an 'sp' mesh axis asks for sequence parallelism: ring
+            # attention shards the O(S²) work over devices (the inner
+            # kernel is flash on accelerators, XLA on CPU)
+            args.attn_impl = "ring"
+            print("[preset] --attn_impl auto -> ring (sp mesh axis)")
+        elif jax.default_backend() != "cpu":
             args.attn_impl = "flash"
             print("[preset] --attn_impl auto -> flash (sampling paths; "
                   "pullback uses the fused pair)")

@@ -159,6 +159,19 @@ def test_loop_impl_auto_resolution(tmp_path):
     assert args.loop_impl == "chunk"
 
 
+def test_attn_impl_auto_resolves_to_ring_under_sp_mesh(tmp_path):
+    """An 'sp' axis in --mesh_axes asks for sequence parallelism: 'auto'
+    resolves to ring attention (on any backend); explicit impls win."""
+    args = preset(parse_args(_base_argv(
+        tmp_path, **{"--mesh_axes": "sp:4"})))
+    assert args.attn_impl == "ring"
+    args = preset(parse_args(_base_argv(
+        tmp_path, **{"--mesh_axes": "dp:2,sp:4", "--attn_impl": "xla"})))
+    assert args.attn_impl == "xla"
+    args = preset(parse_args(_base_argv(tmp_path)))
+    assert args.attn_impl == "auto"  # cpu backend, no sp axis
+
+
 def test_loop_impl_auto_sdxl_single_chip_downgrade(tmp_path, monkeypatch):
     """On a single accelerator chip, 'auto' downgrades to 'chunk' for SDXL
     (fused >~40-step 1024px programs fault); explicit 'scan' is honored
