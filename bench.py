@@ -641,8 +641,9 @@ def bench_flash_tune(apply=False):
     """Side mode (--flash-tune): sweep flash block sizes at the hot
     self-attention shapes (SD-512 4096/1024-token levels, SDXL levels, the
     VAE mid block) to validate the 512×512 default on real hardware.
-    Sweeps all three kernels — forward (sampling), backward and tangent
-    (the pullback's custom_vjp/custom_jvp pair). With ``apply`` (CLI
+    Sweeps all four kernels — forward (sampling), LSE forward (the
+    custom_vjp primal / ring-attention inner, its own tuned kind), backward
+    and tangent (the pullback's custom_vjp/custom_jvp pair). With ``apply`` (CLI
     --apply), winners that beat the 512×512 default by >2% are persisted
     into ops/pallas/flash_tuned.json, which the kernels consult per
     (kind, Sq, Sk, D) on every subsequent run."""
@@ -695,6 +696,9 @@ def bench_flash_tune(apply=False):
         out[label] = _sweep(
             s, lambda bq, bk: (lambda q, k, v: _flash_forward(
                 q, k, v, sc, block_q=bq, block_k=bk)), (q, k, v))
+        out[label + "_lse"] = _sweep(
+            s, lambda bq, bk: (lambda q, k, v: _flash_forward_lse(
+                q, k, v, sc, block_q=bq, block_k=bk)[0]), (q, k, v))
         # residuals for the differentiated kernels (defaults; the sweep
         # varies only the kernel under test)
         o, lse = jax.jit(lambda q, k, v: _flash_forward_lse(
@@ -719,8 +723,8 @@ def bench_flash_tune(apply=False):
         tuned = dict(fa._tuned_table())
         applied = {}
         for label, bh, s, d in shapes:
-            for suffix, kind in (("", "fwd"), ("_bwd", "bwd"),
-                                 ("_jvp", "jvp")):
+            for suffix, kind in (("", "fwd"), ("_lse", "fwd_lse"),
+                                 ("_bwd", "bwd"), ("_jvp", "jvp")):
                 row = out.get(label + suffix, {})
                 ms, best = row.get("ms", {}), row.get("best")
                 base = ms.get("512x512")

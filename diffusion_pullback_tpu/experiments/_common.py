@@ -60,10 +60,15 @@ class DriverCommonMixin:
         publishes the mesh for ring attention (`attention(impl='ring')`).
         No mesh → unchanged."""
         mesh = self.cfg.mesh
-        if mesh is not None and "sp" in mesh.axis_names and mesh.shape["sp"] > 1:
+        if mesh is not None:
             from ..parallel import set_ring_mesh
 
-            set_ring_mesh(mesh)
+            # a driver that owns a mesh also owns the ring global: publish
+            # it when the mesh has an 'sp' axis, clear any stale one
+            # otherwise (a later non-sp driver must not ring over a
+            # previous driver's mesh)
+            has_sp = "sp" in mesh.axis_names and mesh.shape["sp"] > 1
+            set_ring_mesh(mesh if has_sp else None)
         if mesh is None:
             return params
         if "tp" in mesh.axis_names and mesh.shape["tp"] > 1:

@@ -231,6 +231,11 @@ class EditStableDiffusion(DriverCommonMixin):
                                                         unet=u)
             )
             return mk(u_jvp), mk(u_vjp), "flashpair"
+        if impl == "ring":
+            # ring's accelerator inner (fused LSE kernel) is primal-only;
+            # the differentiated encoder needs the XLA inner, which jvp/vjp
+            # both traverse (shard_map + ppermute + scan are AD-native)
+            impl = "ring_xla"
         if impl != self.unet.config.attn_impl:
             u = self._unet_variant(impl)
             return (
@@ -1021,6 +1026,8 @@ class EditStableDiffusion(DriverCommonMixin):
             or self.unet.config.attn_impl
         if impl in ("flash", "flash_jvp"):
             return self._unet_variant("flash_jvp"), self._unet_variant("flash")
+        if impl == "ring":
+            impl = "ring_xla"  # differentiated path needs the XLA inner
         if impl != self.unet.config.attn_impl:
             return self._unet_variant(impl), None
         return self.unet, None

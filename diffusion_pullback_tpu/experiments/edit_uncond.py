@@ -223,6 +223,10 @@ class EditUncondDiffusion(DriverCommonMixin):
         if impl in ("flash", "flash_jvp"):
             return (self._model_variant("flash_jvp"),
                     self._model_variant("flash"))
+        if impl == "ring":
+            # the differentiated model must use ring's XLA inner (both-mode
+            # differentiable); the fused-LSE inner is primal-only
+            impl = "ring_xla"
         if impl != model_impl:
             return self._model_variant(impl), None
         return self.model, None

@@ -103,7 +103,11 @@ def attention(
         from .pallas.flash_attention import flash_attention_jvp
 
         return flash_attention_jvp(q, k, v, scale, interpret=interpret)
-    if impl == "ring":
+    if impl in ("ring", "ring_xla"):
+        # 'ring_xla' forces the XLA inner kernel, which is differentiable in
+        # both AD modes — the pullback drivers select it when the model's
+        # sampling impl is 'ring' (the default flash inner is primal-only,
+        # same constraint as 'flash')
         from ..parallel.ring_attention import (
             MIN_SHARD_TOKENS,
             get_ring_mesh,
@@ -117,6 +121,7 @@ def attention(
                 and min(sq, sk) // n >= MIN_SHARD_TOKENS):
             return ring_attention(
                 q, k, v, scale, mesh=mesh, axis=axis, precision=precision,
+                inner="xla" if impl == "ring_xla" else "auto",
                 interpret=jax.default_backend() == "cpu",
             )
         if q.shape[1] >= 1024 and k.shape[1] >= 1024:

@@ -56,13 +56,20 @@ _TUNED: Optional[dict] = None
 
 def _tuned_table() -> dict:
     """Lazy-load {"{kind}:{sq}x{sk}:d{d}": [block_q, block_k]} written by
-    `bench.py --flash-tune --apply`; missing/corrupt file → empty table."""
+    `bench.py --flash-tune --apply`; missing/corrupt file → empty table,
+    and individually malformed entries (non-int / non-positive blocks) are
+    dropped rather than crashing every kernel call at that shape."""
     global _TUNED
     if _TUNED is None:
         try:
             with open(_TUNED_PATH) as f:
-                _TUNED = {k: tuple(v) for k, v in json.load(f).items()}
-        except (OSError, ValueError, TypeError):
+                _TUNED = {
+                    k: (int(v[0]), int(v[1]))
+                    for k, v in json.load(f).items()
+                    if isinstance(v, (list, tuple)) and len(v) == 2
+                    and all(isinstance(x, int) and x > 0 for x in v)
+                }
+        except (OSError, ValueError, TypeError, AttributeError):
             _TUNED = {}
     return _TUNED
 
@@ -208,7 +215,10 @@ def _flash_forward_lse(q, k, v, scale, block_q=None, block_k=None,
                        interpret=False):
     bh, sq, d = q.shape
     sk = k.shape[1]
-    block_q, block_k = _blocks("fwd", sq, sk, d, block_q, block_k)
+    # own tuned-table kind: this kernel carries an extra (bh, sq, 128) f32
+    # output and different VMEM pressure than the plain forward, so 'fwd'
+    # winners must not silently apply to it
+    block_q, block_k = _blocks("fwd_lse", sq, sk, d, block_q, block_k)
     grid = (bh, sq // block_q, sk // block_k)
     return pl.pallas_call(
         functools.partial(_flash_fwd_lse_kernel, scale=scale),

@@ -62,6 +62,8 @@ def make_mesh(
         # on an 8-chip host) takes a device prefix; anything else is a
         # genuine mismatch
         if not explicit_devices and 0 < math.prod(dims) < len(devices):
+            print(f"[mesh] shape {shape} uses the first {math.prod(dims)} "
+                  f"of {len(devices)} devices; the rest stay idle")
             devices = devices[: math.prod(dims)]
         else:
             raise ValueError(

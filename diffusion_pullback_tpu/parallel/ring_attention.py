@@ -82,7 +82,7 @@ def _partial_xla(q, k, v, scale, precision):
     return o, lse
 
 
-def _partial_flash(q, k, v, scale, interpret):
+def _partial_flash(q, k, v, scale, interpret, block_q=None, block_k=None):
     """Same contract as `_partial_xla` through the fused Pallas LSE kernel
     (ops/pallas/flash_attention.py). Primal-only."""
     from ..ops.pallas.flash_attention import _flash_forward_lse
@@ -91,7 +91,8 @@ def _partial_flash(q, k, v, scale, interpret):
     sk = k.shape[1]
     fold = lambda x, s: x.transpose(0, 2, 1, 3).reshape(b * h, s, x.shape[-1])
     o, lse = _flash_forward_lse(fold(q, sq), fold(k, sk), fold(v, sk),
-                                scale, interpret=interpret)
+                                scale, block_q=block_q, block_k=block_k,
+                                interpret=interpret)
     o = o.reshape(b, h, sq, d).transpose(0, 2, 1, 3).astype(jnp.float32)
     lse = lse[:, :, 0].reshape(b, h, sq).transpose(0, 2, 1)  # (B,Sq,H)
     return o, lse
@@ -133,8 +134,21 @@ def ring_attention(
     if inner == "auto":
         inner = "xla" if jax.default_backend() == "cpu" else "flash"
     if inner == "flash":
-        partial = lambda q, k, v: _partial_flash(q, k, v, scale, interpret)
-    else:
+        # the fused kernel tiles the SHARD-LOCAL sequence; shapes whose
+        # largest ≤512 divisor is degenerate (e.g. 2304-row shards) drop to
+        # the XLA inner instead of raising at trace time
+        def _div(s, cap=512):
+            b = min(cap, s)
+            while s % b:
+                b -= 1
+            return b
+        bq, bk = _div(sq // n), _div(sk // n)
+        if min(bq, bk) < 128:
+            inner = "xla"
+        else:
+            partial = lambda q, k, v: _partial_flash(
+                q, k, v, scale, interpret, bq, bk)
+    if inner != "flash":
         partial = lambda q, k, v: _partial_xla(q, k, v, scale, precision)
 
     axis_b = None

@@ -34,8 +34,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # Dense/Conv module names whose kernel output axis shards over 'tp'
 # (column-parallel). "proj" is GEGLU's fused value‖gate up-projection
-# (transformer2d.py): its 2·inner output axis shards consistently with the
-# downstream split because both halves are tp-chunked identically.
+# (transformer2d.py): contiguous sharding of the 2·inner output axis does
+# NOT land the value/gate halves on matching devices (a true Megatron GEGLU
+# shards each half separately, which a PartitionSpec on the fused axis
+# cannot express), so XLA inserts one activation reshard before the
+# elementwise value·gelu(gate). Still net-positive: the dominant up-proj
+# matmul FLOPs and its weights shard 1/tp, paid for with one (B,S,2·inner)
+# boundary move.
 COLUMN_PARALLEL = frozenset({"to_q", "to_k", "to_v", "proj", "proj_in"})
 # names whose kernel input axis shards (row-parallel; XLA psums the output)
 ROW_PARALLEL = frozenset({"to_out", "net_2", "proj_out"})

@@ -310,7 +310,8 @@ def preset(args):
     if args.attn_impl == "auto":
         import jax
 
-        if "sp" in [a.split(":")[0] for a in args.mesh_axes.split(",") if a]:
+        if "sp" in [a.strip().split(":")[0]
+                    for a in args.mesh_axes.split(",") if a.strip()]:
             # an 'sp' mesh axis asks for sequence parallelism: ring
             # attention shards the O(S²) work over devices (the inner
             # kernel is flash on accelerators, XLA on CPU)

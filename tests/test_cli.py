@@ -166,6 +166,9 @@ def test_attn_impl_auto_resolves_to_ring_under_sp_mesh(tmp_path):
         tmp_path, **{"--mesh_axes": "sp:4"})))
     assert args.attn_impl == "ring"
     args = preset(parse_args(_base_argv(
+        tmp_path, **{"--mesh_axes": "dp:2, sp:4"})))  # whitespace-tolerant
+    assert args.attn_impl == "ring"
+    args = preset(parse_args(_base_argv(
         tmp_path, **{"--mesh_axes": "dp:2,sp:4", "--attn_impl": "xla"})))
     assert args.attn_impl == "xla"
     args = preset(parse_args(_base_argv(tmp_path)))

@@ -116,7 +116,9 @@ class TestTunedBlockTable:
 
         monkeypatch.setattr(fa, "_TUNED", {"fwd:256x256:d128": (128, 128)})
         assert fa._blocks("fwd", 256, 256, 128) == (128, 128)
-        # other kinds/shapes keep the default
+        # other kinds/shapes keep the default — in particular the LSE
+        # forward (different VMEM profile) must NOT inherit 'fwd' winners
+        assert fa._blocks("fwd_lse", 256, 256, 128) == (256, 256)
         assert fa._blocks("bwd", 256, 256, 128) == (256, 256)
         assert fa._blocks("fwd", 512, 512, 128) == (512, 512)
         q, k, v = self._qkv(256)
@@ -187,3 +189,16 @@ class TestTunedBlockTable:
         path.write_text("{broken")
         monkeypatch.setattr(fa, "_TUNED", None)
         assert fa._blocks("fwd", 4096, 4096, 64) == (512, 512)
+        # malformed entries (zero/negative/non-int blocks) are dropped
+        # individually instead of crashing the kernel call
+        path.write_text(_json.dumps({
+            "fwd:4096x4096:d64": [0, 512],
+            "bwd:4096x4096:d64": ["big", 512],
+            "jvp:4096x4096:d64": [1024],
+            "fwd:1024x1024:d64": [256, 256],
+        }))
+        monkeypatch.setattr(fa, "_TUNED", None)
+        assert fa._blocks("fwd", 4096, 4096, 64) == (512, 512)
+        assert fa._blocks("bwd", 4096, 4096, 64) == (512, 512)
+        assert fa._blocks("jvp", 4096, 4096, 64) == (512, 512)
+        assert fa._blocks("fwd", 1024, 1024, 64) == (256, 256)

@@ -62,6 +62,19 @@ def test_flash_inner_matches(monkeypatch):
                                atol=2e-5)
 
 
+@pytest.mark.parametrize("sq", [576, 254])
+def test_flash_inner_odd_shards(sq):
+    """Shard-local sequences that don't tile at 512 must still be correct:
+    576/2=288 runs the kernel at a 288 block; 254/2=127 has no usable block
+    and silently drops to the XLA inner instead of raising at trace time."""
+    q, k, v = _qkv(sq=sq, sk=sq, d=32)
+    mesh = make_mesh(("sp",), shape={"sp": 2})
+    out = ring_attention(q, k, v, mesh=mesh, inner="flash", interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(xla_attention(q, k, v)),
+                               atol=2e-5)
+
+
 def test_differentiable_both_modes():
     """The xla-inner ring is usable under the pullback: jvp AND vjp match
     the dense path through shard_map + scan + ppermute."""
@@ -136,6 +149,55 @@ class TestDispatcher:
         np.testing.assert_allclose(np.asarray(out),
                                    np.asarray(xla_attention(q, k, v)),
                                    atol=2e-5)
+
+    @staticmethod
+    def _adm_driver(tmp_path, mesh, attn_impl="xla"):
+        import dataclasses
+
+        from diffusion_pullback_tpu.experiments import (
+            EditUncondDiffusion,
+            UncondExperimentConfig,
+        )
+        from diffusion_pullback_tpu.models import UNetADM
+        from diffusion_pullback_tpu.models.configs import adm_tiny
+        from diffusion_pullback_tpu.ops import DiffusionSchedule
+        from diffusion_pullback_tpu.utils.datasets import NoiseDataset
+        from diffusion_pullback_tpu.utils.logging import JSONLLogger
+
+        cfg = UncondExperimentConfig(
+            for_steps=4, inv_steps=4, mesh=mesh,
+            result_folder=str(tmp_path / "runs"),
+            obs_folder=str(tmp_path / "obs"),
+            basis_folder=str(tmp_path / "inputs"),
+        )
+        model = UNetADM(dataclasses.replace(adm_tiny(16),
+                                            attn_impl=attn_impl))
+        params = model.init(
+            jax.random.key(0), jnp.zeros((1, 16, 16, 3)), jnp.float32(0.0))
+        return EditUncondDiffusion(
+            model, params, DiffusionSchedule.linear(), NoiseDataset(16, n=2),
+            cfg, logger=JSONLLogger(path=None, echo=False),
+        )
+
+    def test_pullback_paths_map_ring_to_xla_inner(self, tmp_path):
+        """With the model sampling impl 'ring' and no explicit
+        --pullback_attn_impl, the differentiated paths must select the
+        'ring_xla' variant (the accelerator flash inner is primal-only and
+        would fail under jax.linearize)."""
+        drv = self._adm_driver(
+            tmp_path, make_mesh(("sp",), shape={"sp": 2}), attn_impl="ring")
+        m_jvp, m_vjp = drv._pullback_models()
+        assert m_jvp.config.attn_impl == "ring_xla"
+        assert m_vjp is None
+
+    def test_place_weights_clears_stale_ring_mesh(self, tmp_path):
+        """A driver whose mesh has no 'sp' axis must clear a previously
+        published ring mesh, not ring over it."""
+        from diffusion_pullback_tpu.parallel import get_ring_mesh
+
+        set_ring_mesh(make_mesh(("sp",), shape={"sp": 2}))
+        self._adm_driver(tmp_path, make_mesh(("dp",), shape={"dp": 2}))
+        assert get_ring_mesh()[0] is None
 
     def test_model_forward_under_sp_mesh(self):
         """A full U-Net forward with attn_impl='ring' under an sp mesh
