@@ -513,7 +513,7 @@ def bench_mesh_pullback():
     t0 = time.perf_counter()
     _sync(run())
     sec = time.perf_counter() - t0
-    return {
+    out = {
         "metric": f"celebahq256_pullback_probe_sharded_{n_dev}dev",
         "value": round(sec, 4),
         "unit": "s",
@@ -523,6 +523,94 @@ def bench_mesh_pullback():
         "power_iters": ITERS,
         "n_devices": n_dev,
     }
+    if n_dev > 1:
+        for key, fn in (("ring", _bench_ring_attention),
+                        ("tp", _bench_tp_forward)):
+            try:
+                out[key] = fn(n_dev)
+            except Exception as e:
+                out[key] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    return out
+
+
+def _bench_ring_attention(n_dev):
+    """sp sub-section of --mesh: ring attention vs the per-device dense
+    kernel at the SDXL-1024 mid-block shape (16 384 tokens — the workload
+    sp exists for). CPU virtual meshes get a scaled-down shape: the number
+    is plumbing-true but not hardware-meaningful there."""
+    from diffusion_pullback_tpu.ops.attention import blockwise_attention
+    from diffusion_pullback_tpu.parallel import make_mesh, ring_attention
+
+    on_acc = jax.default_backend() != "cpu"
+    b, s, h, d = (2, 16384, 10, 64) if on_acc else (1, 1024, 2, 32)
+    dt = jnp.bfloat16 if on_acc else jnp.float32
+    kq, kk, kv = jax.random.split(jax.random.key(3), 3)
+    q = jax.random.normal(kq, (b, s, h, d), dt)
+    k = jax.random.normal(kk, (b, s, h, d), dt)
+    v = jax.random.normal(kv, (b, s, h, d), dt)
+    mesh = make_mesh(("sp",))
+    ring = jax.jit(lambda q, k, v: ring_attention(q, k, v, mesh=mesh))
+    dense = jax.jit(lambda q, k, v: blockwise_attention(q, k, v))
+
+    def timed(f):
+        _sync(f(q, k, v))
+        n = 20
+        t0 = time.perf_counter()
+        for _ in range(n):
+            o = f(q, k, v)
+        _sync(o)
+        return (time.perf_counter() - t0) / n * 1e3
+
+    ring_ms, dense_ms = timed(ring), timed(dense)
+    return {"shape": [b, s, h, d], "sp": n_dev,
+            "ring_ms": round(ring_ms, 3), "dense_1dev_ms": round(dense_ms, 3),
+            "speedup": round(dense_ms / ring_ms, 3)}
+
+
+def _bench_tp_forward(n_dev):
+    """tp sub-section of --mesh: the SD-family U-Net forward with
+    Megatron-sharded weights over ('tp',) vs replicated weights on one
+    program. Accelerators run the real SD2.1-512 U-Net; CPU virtual meshes
+    run the tiny config (plumbing check only)."""
+    import dataclasses
+
+    from diffusion_pullback_tpu.models import UNet2DCondition
+    from diffusion_pullback_tpu.models.configs import sd21_base_unet, sd_tiny_unet
+    from diffusion_pullback_tpu.parallel import make_mesh, tp_shard_params
+
+    on_acc = jax.default_backend() != "cpu"
+    if on_acc:
+        cfg = dataclasses.replace(sd21_base_unet(), dtype="bfloat16")
+        x = jax.random.normal(jax.random.key(4), (1, 64, 64, 4), jnp.float32)
+        ctx = jax.random.normal(jax.random.key(5), (1, 77, 1024), jnp.float32)
+    else:
+        cfg = sd_tiny_unet(8)
+        x = jax.random.normal(jax.random.key(4), (1, 8, 8, 4), jnp.float32)
+        ctx = jax.random.normal(jax.random.key(5), (1, 7, 16), jnp.float32)
+    model = UNet2DCondition(cfg)
+    t = jnp.float32(500.0)
+    params = jax.jit(lambda k: model.init(k, x, t, ctx))(jax.random.key(0))
+    mesh = make_mesh(("tp",))
+    fwd = jax.jit(model.apply)
+
+    def timed(p, use_mesh):
+        import contextlib
+
+        ctxmgr = mesh if use_mesh else contextlib.nullcontext()
+        with ctxmgr:
+            _sync(fwd(p, x, t, ctx))
+            n = 20
+            t0 = time.perf_counter()
+            for _ in range(n):
+                o = fwd(p, x, t, ctx)
+            _sync(o)
+        return (time.perf_counter() - t0) / n * 1e3
+
+    repl_ms = timed(params, False)
+    tp_ms = timed(tp_shard_params(params, mesh), True)
+    return {"model": "sd21_base" if on_acc else "sd_tiny", "tp": n_dev,
+            "tp_ms": round(tp_ms, 3), "replicated_1dev_ms": round(repl_ms, 3),
+            "speedup": round(repl_ms / tp_ms, 3)}
 
 
 def bench_bf16_pullback():
