@@ -895,10 +895,16 @@ def main():
             out[name] = {"skipped": "1 device (mesh needs >1; "
                                     "dryrun_multichip covers sharding)"}
             continue
+        # section progress on stderr (stdout stays one JSON line): lets a
+        # tail of the log attribute a stall to a section + compile, not a hang
+        print(f"[bench +{int(elapsed)}s] {name} ...", file=sys.stderr,
+              flush=True)
         try:
             out[name] = fn()
         except Exception as e:  # record, keep going — artifact must land
             out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        print(f"[bench +{int(time.perf_counter() - t_start)}s] {name} done",
+              file=sys.stderr, flush=True)
 
     c1 = out.get("config1", {})
     try:
