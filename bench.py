@@ -822,13 +822,26 @@ def bench_flash_tune(apply=False):
                         and ms[best] < base * 0.98):
                     bq, bk = (int(x) for x in best.split("x"))
                     key = f"{kind}:{s}x{s}:d{d}"
+                    entry = {"blocks": [bq, bk],
+                             "speedup": round(base / ms[best], 3)}
+                    # keys omit batch*heads, so two swept shapes (e.g. the
+                    # SD 10-head and SDXL 20-head 4096-token levels) can
+                    # land on the same key — surface the overwrite rather
+                    # than silently letting sweep order decide (ADVICE r3)
+                    if key in applied:
+                        entry["overwrote"] = applied[key]["from"]
+                    entry["from"] = label
                     tuned[key] = [bq, bk]
-                    applied[key] = {"blocks": [bq, bk],
-                                    "speedup": round(base / ms[best], 3)}
+                    applied[key] = entry
         if applied:
+            # stamp the measuring platform: _tuned_table ignores the whole
+            # table on a different device kind (blocks tuned for a larger
+            # chip's VMEM must not crash a smaller one)
+            tuned["_platform"] = fa._device_kind()
             tmp = fa._TUNED_PATH + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(tuned, f, indent=1, sort_keys=True)
+                f.write("\n")
             os.replace(tmp, fa._TUNED_PATH)
             fa._TUNED = None  # reload on next kernel call
         out["applied"] = applied
@@ -899,12 +912,14 @@ def main():
         # tail of the log attribute a stall to a section + compile, not a hang
         print(f"[bench +{int(elapsed)}s] {name} ...", file=sys.stderr,
               flush=True)
+        status = "done"
         try:
             out[name] = fn()
         except Exception as e:  # record, keep going — artifact must land
             out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
-        print(f"[bench +{int(time.perf_counter() - t_start)}s] {name} done",
-              file=sys.stderr, flush=True)
+            status = "ERROR"
+        print(f"[bench +{int(time.perf_counter() - t_start)}s] "
+              f"{name} {status}", file=sys.stderr, flush=True)
 
     c1 = out.get("config1", {})
     try:

@@ -54,18 +54,35 @@ _TUNED_PATH = os.path.join(
 _TUNED: Optional[dict] = None
 
 
+def _device_kind() -> str:
+    """Best-effort device kind for keying tuned entries ('' if unknown)."""
+    try:
+        return jax.devices()[0].device_kind
+    except Exception:
+        return ""
+
+
 def _tuned_table() -> dict:
     """Lazy-load {"{kind}:{sq}x{sk}:d{d}": [block_q, block_k]} written by
     `bench.py --flash-tune --apply`; missing/corrupt file → empty table,
     and individually malformed entries (non-int / non-positive blocks) are
-    dropped rather than crashing every kernel call at that shape."""
+    dropped rather than crashing every kernel call at that shape. Entries
+    are measured on one device generation and may exceed VMEM on a smaller
+    chip, so a table stamped with a ``_platform`` that differs from the
+    running device kind is ignored wholesale (ADVICE r3) — the validated
+    512x512 default applies instead of a foreign winner."""
     global _TUNED
     if _TUNED is None:
         try:
             with open(_TUNED_PATH) as f:
+                raw = json.load(f)
+            plat = raw.pop("_platform", None)
+            if plat is not None and plat != _device_kind():
+                _TUNED = {}
+            else:
                 _TUNED = {
                     k: (int(v[0]), int(v[1]))
-                    for k, v in json.load(f).items()
+                    for k, v in raw.items()
                     if isinstance(v, (list, tuple)) and len(v) == 2
                     and all(isinstance(x, int) and x > 0 for x in v)
                 }
