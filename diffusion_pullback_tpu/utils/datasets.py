@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import re
+import sys
 from typing import List, Optional
 
 import numpy as np
@@ -106,6 +107,24 @@ def get_dataset(
                 return ImgDataset(c, image_size)
             except FileNotFoundError:
                 continue
+    # last resort for the two reference-bundled sets: regenerate the
+    # deterministic synthetic stand-ins (scripts/make_sample_images.py —
+    # same files this repo commits under datasets/) into a cache dir, so
+    # the published scripts/*.sh run even from a stripped checkout
+    if dataset_name.lower() in ("celeba_hq", "examples"):
+        gen_root = os.path.join(
+            os.path.expanduser("~"), ".cache", "diffusion_pullback_tpu",
+            "datasets")
+        sys.path.insert(0, os.path.join(here, "scripts"))
+        try:
+            from make_sample_images import generate
+        finally:
+            sys.path.pop(0)
+        generate(gen_root)
+        print(f"[datasets] {dataset_name!r} folder missing — using the "
+              f"generated synthetic sample set under {gen_root}")
+        return ImgDataset(os.path.join(gen_root, dataset_name.lower()),
+                          image_size)
     raise FileNotFoundError(
         f"dataset {dataset_name!r} not found (searched {candidates}); "
         "use dataset_name='noise' for offline runs or pass data_root"
