@@ -44,6 +44,8 @@ from ..samplers.guidance import (
 from ..utils.images import save_image_grid
 from ..utils.logging import JSONLLogger
 from ._common import DriverCommonMixin
+from .sd_harvest import SDHarvestMixin
+from .sd_pca import SDPCAMixin
 from .cache import BasisCache, basis_name
 
 
@@ -71,6 +73,10 @@ class SDExperimentConfig:
     # that faults a single chip at SDXL-1024 (r3 measurement, TODO.md)
     loop_impl: str = "scan"
     loop_chunk: int = 8
+    # AOT program export (utils/aot.py): 'auto' serializes traced programs
+    # on single-device accelerator runs so later processes skip re-tracing;
+    # 'on'/'off' force. Keyed by program name + arg avals + code salt.
+    aot_export: str = "auto"
     pullback_min_iter: int = 10
     pullback_max_iter: int = 50
     pullback_atol: float = 1e-4
@@ -125,7 +131,7 @@ class SDExperimentConfig:
     vis_num_pc: int = 2
 
 
-class EditStableDiffusion(DriverCommonMixin):
+class EditStableDiffusion(DriverCommonMixin, SDPCAMixin, SDHarvestMixin):
     @property
     def _arch_config(self):
         return self.unet.config
@@ -1093,534 +1099,3 @@ class EditStableDiffusion(DriverCommonMixin):
         return self._edit_with_global_h_basis(
             idx, res.vT.T, op, block_idx, vis_num, vis_num_pc, tag, zt=zt
         )
-
-    def _edit_with_global_h_basis(self, idx, u_mean, op, block_idx,
-                                  vis_num, vis_num_pc, tag, zt=None):
-        """Map h-space directions to latent space at the target sample via
-        Jᵀ of the edit-prompt-conditioned encoder (the reference's
-        inverse-Jacobian trick, utils.py:1117-1160) and run the guidance
-        edit. ``zt`` reuses a caller's already-inverted latent (the decoder
-        pullback computes it anyway — skipping ~inv_steps U-Net evals)."""
-        from ..geometry.pullback import pullback_covector
-
-        cfg = self.cfg
-        tap = TapPoint(op, block_idx)
-        if zt is None:
-            zT = self.run_DDIMinversion(idx)
-            zt = self.DDIMforwardsteps(zT, 0, self.edit_t_idx)
-        t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
-        h_shape = jax.eval_shape(
-            lambda z: self._tap_encode(
-                self.unet_params, z, t_edit, self.edit_prompt_emb, tap
-            ),
-            zt,
-        ).shape
-
-        inv = self._jitted(
-            f"sd_inv_jac_{tap}",
-            lambda p, emb, z, tt, u: pullback_covector(
-                lambda zz: self._tap_encode(p, zz, tt, emb, tap), z, u
-            ),
-        )
-        shape = zt.shape[1:]
-        vks, names = [], []
-        for pc in range(vis_num_pc):
-            v = inv(self.unet_params, self.edit_prompt_emb, zt, t_edit,
-                    u_mean[:, pc].reshape(h_shape))
-            v = v / jnp.linalg.norm(v)
-            for sign, stag in ((1.0, "pos"), (-1.0, "neg")):
-                vks.append(sign * v.reshape(shape))
-                names.append(
-                    f"Edit_{tag}-{cfg.dataset_name}_{idx}-edit_{cfg.edit_t}T"
-                    f"-{op}-block_{block_idx}-pc_{pc:03d}_{stag}"
-                    f"-edit_prompt_{cfg.edit_prompt}"
-                )
-        return self._edit_along_directions(zt, vks, names, vis_num)
-
-    def run_edit_local_pca_zt(
-        self,
-        idx: int,
-        op: str = "mid",
-        block_idx: int = 0,
-        pca_rank: int = 8,
-        num_samples: int = 1024,
-        sigma: float = 0.1,
-        vis_num: Optional[int] = None,
-        vis_num_pc: Optional[int] = None,
-        edit_prompt: Optional[str] = None,
-    ):
-        """Edit along local-PCA h-directions mapped to latent space via Jᵀ —
-        the reference's local_pca_zt on the SD U-Net (utils.py:900-975:
-        50k perturbed-h samples through pca_lowrank, CPU-staged) as a
-        streaming on-device sketch."""
-        from ..geometry.pca import local_pca, pca_to_x_direction
-
-        cfg = self.cfg
-        if edit_prompt is not None:
-            cfg.edit_prompt = edit_prompt
-            self.edit_prompt_emb = self._get_emb(edit_prompt)
-        vis_num = vis_num or cfg.vis_num
-        vis_num_pc = vis_num_pc or cfg.vis_num_pc
-        tap = TapPoint(op, block_idx)
-        zT = self.run_DDIMinversion(idx)
-        zt = self.DDIMforwardsteps(zT, 0, self.edit_t_idx)
-        t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
-
-        run = self._jitted(
-            f"sd_local_pca_{tap}_{pca_rank}_{num_samples}_{sigma}",
-            lambda p, emb, z, tt, k: local_pca(
-                lambda zz: self._tap_encode(p, zz, tt, emb, tap),
-                z, k, rank=pca_rank, num_samples=num_samples,
-                chunk=min(16, num_samples), sigma=sigma,
-            ),
-        )
-        t0 = time.perf_counter()
-        pca = run(self.unet_params, self.edit_prompt_emb, zt, t_edit,
-                  jax.random.key(cfg.seed))
-        jax.block_until_ready(pca)
-        self.log.log("sd_local_pca", seconds=time.perf_counter() - t0,
-                     top_var=np.asarray(pca.variances[:3]).round(5))
-
-        to_x = self._jitted(
-            f"sd_pca_to_x_{tap}",
-            lambda p, emb, z, tt, comp: pca_to_x_direction(
-                lambda zz: self._tap_encode(p, zz, tt, emb, tap), z, comp
-            ),
-        )
-        shape = zt.shape[1:]
-        vks, names = [], []
-        for pc in range(vis_num_pc):
-            v = to_x(self.unet_params, self.edit_prompt_emb, zt, t_edit,
-                     pca.components[pc])
-            for sign, tag in ((1.0, "pos"), (-1.0, "neg")):
-                vks.append(sign * v.reshape(shape))
-                names.append(
-                    f"Edit_local_pca-{cfg.dataset_name}_{idx}"
-                    f"-edit_{cfg.edit_t}T-{op}-block_{block_idx}"
-                    f"-pc_{pc:03d}_{tag}-edit_prompt_{cfg.edit_prompt}"
-                )
-        return self._edit_along_directions(zt, vks, names, vis_num)
-
-    def run_local_pca_text(
-        self,
-        idx: int,
-        op: str = "mid",
-        block_idx: int = 0,
-        pca_rank: int = 8,
-        num_samples: int = 512,
-        perturb_h: float = 1e-1,
-        edit_prompt: Optional[str] = None,
-    ):
-        """Text-space PCA — working spec of the reference's DEPRECATED
-        local_pca_text (utils.py:1029-1101; its global_pca_text body is
-        literally `pass`, so only the local variant has defined behavior).
-        PCA of the tapped h over unit-normalized Gaussian perturbations of
-        the prompt EMBEDDING, then each principal h-direction is pulled back
-        to text-embedding space via the norm-jacobian trick
-        (∇_emb ‖(h+δu_k) − h(emb)‖ ∝ −Jᵀu_k, utils.py:1089-1095; the exact
-        VJP formulation makes the reference's ``perturb_h`` residual scale
-        cancel — the flag is accepted for signature parity only). Returns
-        the cache path of (u, s, vT_text); the reference never consumes
-        these downstream — strict symbol-completeness port."""
-        from ..geometry.pca import local_pca
-        from ..geometry.pullback import pullback_covector
-
-        cfg = self.cfg
-        if edit_prompt is not None:
-            cfg.edit_prompt = edit_prompt
-            self.edit_prompt_emb = self._get_emb(edit_prompt)
-        if not isinstance(self.edit_prompt_emb, jax.Array):
-            raise NotImplementedError(
-                "text-space PCA perturbs a single context embedding; the "
-                "reference defines it only for the SD (single-tower) family")
-        tap = TapPoint(op, block_idx)
-        name = (
-            f"local_pca_text-{cfg.dataset_name}_{idx}-edit_{cfg.edit_t}T"
-            f"-{op}-block_{block_idx}-rank_{pca_rank}-seed_{cfg.seed}"
-            f"-prompt_{(cfg.edit_prompt or 'none').replace(' ', '_')[:40]}"
-        )
-        if self.cache.load(name) is not None:
-            return self.cache.path(name)
-
-        zT = self.run_DDIMinversion(idx)
-        zt = self.DDIMforwardsteps(zT, 0, self.edit_t_idx)
-        t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
-
-        def text_pca(p, emb, z, tt, k):
-            # fn over the prompt embedding, latent held fixed — the dual of
-            # run_edit_local_pca_zt's latent perturbations
-            fn = lambda e: self._tap_encode(p, z, tt, e, tap)
-            pca = local_pca(
-                fn, emb, k, rank=pca_rank, num_samples=num_samples,
-                chunk=min(16, num_samples), sigma=1.0, unit_delta=True,
-            )
-            h_shape = jax.eval_shape(fn, emb).shape
-
-            def to_text(comp):
-                v = pullback_covector(fn, emb, comp.reshape(h_shape))
-                return (v / jnp.maximum(jnp.linalg.norm(v), 1e-12)).ravel()
-
-            vT_text = jax.lax.map(to_text, pca.components)
-            return pca.components, pca.variances, vT_text
-
-        run = self._jitted(
-            f"sd_text_pca_{tap}_{pca_rank}_{num_samples}", text_pca
-        )
-        t0 = time.perf_counter()
-        u_h, var, vT_text = run(self.unet_params, self.edit_prompt_emb, zt,
-                                t_edit, jax.random.key(cfg.seed))
-        jax.block_until_ready(vT_text)
-        self.log.log(
-            "sd_local_pca_text", seconds=time.perf_counter() - t0,
-            top_var=np.asarray(var[:3]).round(6),
-        )
-        # cache convention: u columns in h-space, s, vT rows in text space
-        return self.cache.save(
-            name, np.asarray(u_h).T, np.asarray(np.sqrt(np.maximum(var, 0))),
-            np.asarray(vT_text),
-        )
-
-    def run_edit_global_pca_zt(
-        self,
-        idx: int,
-        num_samples: int = 16,
-        op: str = "mid",
-        block_idx: int = 0,
-        pca_rank: int = 2,
-        vis_num: Optional[int] = None,
-        vis_num_pc: Optional[int] = None,
-        key=None,
-        edit_prompt: Optional[str] = None,
-    ):
-        """Global-PCA edit on the SD driver (reference global_pca_zt bound to
-        the SD U-Net, utils.py:978-1026): PCA the tapped h-features of a
-        population of sampled latents at edit_t in one jit, then pull the
-        principal h-directions to latent space at the target sample and run
-        the guidance edit."""
-        from ..geometry.pca import global_pca
-
-        cfg = self.cfg
-        if edit_prompt is not None:
-            cfg.edit_prompt = edit_prompt
-            self.edit_prompt_emb = self._get_emb(edit_prompt)
-        vis_num = vis_num or cfg.vis_num
-        vis_num_pc = vis_num_pc or cfg.vis_num_pc
-        tap = TapPoint(op, block_idx)
-        key = jax.random.key(cfg.seed) if key is None else key
-        t_edit = self.fwd_grid.timesteps[self.edit_t_idx]
-        s = self.unet.config.sample_size
-        c = self.unet.config.in_channels
-
-        def harvest(p, fe, ne, ee, k):
-            zT = jax.random.normal(k, (num_samples, s, s, c), jnp.float32)
-            zt = ddim_forward(
-                self.eps_with(p, fe, ne), zT, self.schedule, self.fwd_grid,
-                start_idx=0, end_idx=self.edit_t_idx,
-            )
-            h = self._tap_encode(p, zt, t_edit, ee, tap)
-            return global_pca(h, rank=pca_rank)
-
-        run = self._jitted(
-            f"sd_global_pca_{tap}_{num_samples}_{pca_rank}", harvest
-        )
-        t0 = time.perf_counter()
-        res = run(self.unet_params, self.for_prompt_emb, self.neg_prompt_emb,
-                  self.edit_prompt_emb, key)
-        jax.block_until_ready(res.components)
-        self.log.log(
-            "sd_global_pca_harvest", num_samples=num_samples,
-            seconds=time.perf_counter() - t0,
-            top_var=np.asarray(res.variances[:3]).round(4),
-        )
-        # components are unit h-directions: (k, dim_h) → (dim_h, k)
-        return self._edit_with_global_h_basis(
-            idx, res.components.T, op, block_idx, vis_num, vis_num_pc,
-            "global_pca",
-        )
-
-    def run_sample_encoder_local_tangent_space_zt_batched(
-        self,
-        idx: int,
-        op: str = "mid",
-        block_idx: int = 0,
-        pca_rank: int = 50,
-        t_grid=None,
-        sequential: Optional[bool] = None,
-        after_res: bool = False,
-        after_sa: bool = False,
-    ):
-        """One-jit harvest over the timestep grid (SD flavour of the uncond
-        batched sweep): trajectory collected by the inversion-side scan, the
-        per-t pullbacks mapped via lax.map/vmap — replaces the reference's
-        outer Python loops (main.py:61-76 EDIT_T × prompts grid)."""
-        import numpy as _np
-
-        from ..samplers.ddim_loop import ddim_scan
-
-        cfg = self.cfg
-        tap = self._make_tap(op, block_idx, after_res, after_sa)
-        t_grid = t_grid or tuple(_np.linspace(0.1, 1.0, 10).round(2))
-        t_indices = tuple(
-            int(jnp.argmin(jnp.abs(self.fwd_grid.timesteps - et * 1000.0)))
-            for et in t_grid
-        )
-        suffix = self._basis_name_extras(tap)
-        names = [
-            basis_name(cfg.dataset_name, idx, et, op, block_idx, cfg.seed,
-                       edit_prompt=cfg.edit_prompt, pca_rank=pca_rank) + suffix
-            for et in t_grid
-        ]
-        if all(self.cache.load(n) is not None for n in names):
-            return {et: self.cache.path(n) for et, n in zip(t_grid, names)}
-
-        if cfg.loop_impl == "host":
-            # cold-compile mitigation (TODO r1: the fused sweep traces the
-            # whole trajectory + every pullback into one program, >20 min
-            # cold at SD scale): walk the trajectory with the single
-            # compiled host step and reuse ONE pullback program across the
-            # grid — t enters compute_local_basis as a traced argument, so
-            # the total is 3 compiles (invert step, forward step, pullback)
-            zT = self.run_DDIMinversion(idx)
-            order = sorted(zip(t_grid, t_indices, names), key=lambda x: x[1])
-            z, cur = zT, 0
-            out = {}
-            t0 = time.perf_counter()
-            for et, ti, name in order:
-                if ti > cur:
-                    z = self.DDIMforwardsteps(z, cur, ti)
-                    cur = ti
-                if self.cache.load(name) is not None:
-                    out[et] = self.cache.path(name)
-                    continue
-                res = self.compute_local_basis(
-                    z, self.fwd_grid.timesteps[ti], tap, pca_rank
-                )
-                out[et] = self.cache.save(
-                    name, np.asarray(res.u), np.asarray(res.s),
-                    np.asarray(res.vT),
-                )
-            self.log.log(
-                "sd_tangent_harvest_host", num_t=len(t_grid),
-                seconds=time.perf_counter() - t0,
-            )
-            return out
-
-        # sweep-axis data parallelism: a 'dp' mesh axis dividing the t-grid
-        # shards the per-t pullbacks across devices (vmap + constraint)
-        mesh = self.cfg.mesh
-        dp = self._harvest_dp(len(t_grid), "sd_harvest_dp_skip")
-        if sequential is None:
-            # auto dispatch — docs/downtap_vmap_cliff.md: lax.map on a
-            # single device (vmap-over-instances costs 1.5-3x; it only pays
-            # when a dp mesh axis places one instance per device)
-            sequential = True
-        if dp:
-            sequential = False
-
-        zT = self.run_DDIMinversion(idx)
-
-        # the fused sweep must differentiate the SAME encoder
-        # compute_local_basis does (fused-pair attention, CFG wrap) so the
-        # stored bases are loop_impl-independent
-        enc, enc_vjp, impl = self._pullback_tap_encoders(tap)
-        if cfg.pullback_guidance_scale > 0:
-            enc = self._cfg_encoder(enc)
-            enc_vjp = self._cfg_encoder(enc_vjp) if enc_vjp is not None else None
-            pull_emb = (self.edit_prompt_emb, self.neg_prompt_emb)
-        else:
-            pull_emb = self.edit_prompt_emb
-
-        def sweep(p, fe, ne, ee, z, key):
-            eps = self.eps_with(p, fe, ne)
-            _, traj = ddim_scan(
-                eps, z, self.schedule, self.fwd_grid.timesteps,
-                self.fwd_grid.timesteps_next, collect_trajectory=True,
-            )
-            traj = jnp.concatenate([z[None], traj[:-1]], axis=0)
-            zts = jnp.stack([traj[i] for i in t_indices])
-            ts = jnp.stack([self.fwd_grid.timesteps[i] for i in t_indices])
-            keys = jax.random.split(key, len(t_indices))
-            if dp:
-                from jax.sharding import NamedSharding, PartitionSpec
-
-                sh = NamedSharding(mesh, PartitionSpec("dp"))
-                zts = jax.lax.with_sharding_constraint(zts, sh)
-                ts = jax.lax.with_sharding_constraint(ts, sh)
-                keys = jax.lax.with_sharding_constraint(keys, sh)
-
-            def pull_one(args):
-                zt, tt, kk = args
-                return local_pullback(
-                    lambda q: enc(p, q, tt, ee),
-                    zt, kk, pca_rank=pca_rank,
-                    min_iter=self.cfg.pullback_min_iter,
-                    max_iter=self.cfg.pullback_max_iter,
-                    atol=self.cfg.pullback_atol,
-                    chunk_size=self.cfg.pullback_chunk_size,
-                    remat=self.cfg.pullback_remat,
-                    fn_vjp=(
-                        (lambda q: enc_vjp(p, q, tt, ee))
-                        if enc_vjp is not None else None
-                    ),
-                )
-
-            if sequential:
-                return jax.lax.map(pull_one, (zts, ts, keys))
-            return jax.vmap(lambda a, b, c: pull_one((a, b, c)))(zts, ts, keys)
-
-        run = self._jitted(
-            f"sd_harvest_{tap}_{pca_rank}_{t_indices}_{sequential}"
-            f"_dp{dp}_{impl}{suffix}", sweep
-        )
-        t0 = time.perf_counter()
-        res = run(self.unet_params, self.for_prompt_emb, self.neg_prompt_emb,
-                  pull_emb, zT, jax.random.key(cfg.seed))
-        jax.block_until_ready(res)
-        self.log.log(
-            "sd_tangent_harvest_batched",
-            num_t=len(t_grid),
-            seconds=time.perf_counter() - t0,
-        )
-        out = {}
-        for i, (et, name) in enumerate(zip(t_grid, names)):
-            out[et] = self.cache.save(
-                name, np.asarray(res.u[i]), np.asarray(res.s[i]),
-                np.asarray(res.vT[i]),
-            )
-        return out
-
-    def run_sample_encoder_local_tangent_space_zt_various_prompt(
-        self,
-        prompts,
-        idx: int,
-        op: str = "mid",
-        block_idx: int = 0,
-        pca_rank: Optional[int] = None,
-        h_t: Optional[float] = None,
-        sequential: Optional[bool] = None,
-    ):
-        """Prompt-axis harvest: the reference's 50-MS-COCO-prompt sweep
-        (/root/reference/src/main.py:45-91) as ONE jitted program — the
-        inversion/partial forward run once (prompt-independent), the prompt
-        embeddings are precomputed host-side and stacked as an array axis,
-        and the per-prompt pullbacks map over that axis. With a 'dp' mesh
-        axis the prompt axis is sharded across devices (the natural v5e-8
-        workload); the prompt count is padded up to a dp multiple so every
-        chunk is one program. Cache keys match the per-prompt edit path, so
-        `--run_edit_..._with_various_prompt` edits afterwards hit the cache.
-        """
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        cfg = self.cfg
-        tap = TapPoint(op, block_idx)
-        pca_rank = pca_rank or cfg.pca_rank
-        h_t = cfg.edit_t if h_t is None else h_t
-        names = [
-            basis_name(cfg.dataset_name, idx, h_t, op, block_idx, cfg.seed,
-                       edit_prompt=pr, pca_rank=pca_rank)
-            + self._basis_name_extras(tap)
-            for pr in prompts
-        ]
-        todo = [i for i, n in enumerate(names)
-                if self.cache.load(n) is None]
-        if not todo:
-            return {p: self.cache.path(n) for p, n in zip(prompts, names)}
-
-        t_idx = int(jnp.argmin(jnp.abs(self.fwd_grid.timesteps
-                                       - h_t * 1000.0)))
-        zT = self.run_DDIMinversion(idx)
-        zt = self.DDIMforwardsteps(zT, 0, t_idx) if t_idx > 0 else zT
-        t_edit = self.fwd_grid.timesteps[t_idx]
-
-        enc, enc_vjp, impl = self._pullback_tap_encoders(tap)
-        cfg_wrap = cfg.pullback_guidance_scale > 0
-        if cfg_wrap:
-            enc = self._cfg_encoder(enc)
-            enc_vjp = self._cfg_encoder(enc_vjp) if enc_vjp is not None \
-                else None
-        embs = []
-        for i in todo:
-            e = self._get_emb(prompts[i])
-            embs.append((e, self.neg_prompt_emb) if cfg_wrap else e)
-
-        mesh = cfg.mesh
-        dp = 0
-        if mesh is not None and "dp" in mesh.axis_names \
-                and mesh.shape["dp"] > 1:
-            dp = mesh.shape["dp"]
-        if sequential is None:
-            sequential = True   # docs/downtap_vmap_cliff.md (dp path vmaps)
-        pad = (-len(todo)) % dp if dp else 0
-        embs = embs + embs[-1:] * pad
-        emb_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *embs)
-        # same probe seed for every prompt — the serial per-prompt path
-        # passes jax.random.key(seed) to each compute_local_basis, so the
-        # cache entries this sweep fills must come from identical inits
-        # (the uncond _harvest_bases twin broadcasts for the same reason)
-        keys = jnp.broadcast_to(jax.random.key(cfg.seed), (len(embs),))
-
-        def sweep(p, z, tt, emb_axis, ks):
-            def pull_one(ee, kk):
-                return local_pullback(
-                    lambda q: enc(p, q, tt, ee),
-                    z, kk, pca_rank=pca_rank,
-                    min_iter=cfg.pullback_min_iter,
-                    max_iter=cfg.pullback_max_iter,
-                    atol=cfg.pullback_atol,
-                    chunk_size=cfg.pullback_chunk_size,
-                    remat=cfg.pullback_remat,
-                    fn_vjp=((lambda q: enc_vjp(p, q, tt, ee))
-                            if enc_vjp is not None else None),
-                )
-
-            if dp:
-                con = lambda a: jax.lax.with_sharding_constraint(
-                    a, NamedSharding(mesh, PartitionSpec("dp")))
-                emb_axis = jax.tree.map(con, emb_axis)
-                ks = con(ks)
-                return jax.vmap(pull_one)(emb_axis, ks)
-            if sequential:
-                return jax.lax.map(lambda ab: pull_one(*ab), (emb_axis, ks))
-            return jax.vmap(pull_one)(emb_axis, ks)
-
-        run = self._jitted(
-            f"sd_prompt_sweep_{tap}_{pca_rank}_{len(embs)}_dp{dp}"
-            f"_{sequential}_{impl}", sweep,
-        )
-        t0 = time.perf_counter()
-        res = run(self.unet_params, zt, t_edit, emb_stack, keys)
-        jax.block_until_ready(res)
-        self.log.log(
-            "sd_prompt_sweep", num_prompts=len(todo), dp=dp, pad=pad,
-            seconds=time.perf_counter() - t0,
-        )
-        for j, i in enumerate(todo):  # padded tail rows are discarded
-            self.cache.save(
-                names[i], np.asarray(res.u[j]), np.asarray(res.s[j]),
-                np.asarray(res.vT[j]),
-            )
-        return {p: self.cache.path(n) for p, n in zip(prompts, names)}
-
-    def run_sample_encoder_local_tangent_space_zt(
-        self, idx: int, op="mid", block_idx=0, pca_rank=50, h_t=1.0,
-        edit_prompt: Optional[str] = None,
-    ):
-        """Basis harvesting at one (t, prompt) point (edit.py:309-383)."""
-        cfg = self.cfg
-        tap = TapPoint(op, block_idx)
-        if edit_prompt is not None:
-            self.edit_prompt_emb = self._get_emb(edit_prompt)
-            cfg.edit_prompt = edit_prompt
-        name = basis_name(
-            cfg.dataset_name, idx, h_t, op, block_idx, cfg.seed,
-            edit_prompt=cfg.edit_prompt, pca_rank=pca_rank,
-        )
-        if self.cache.load(name) is not None:
-            return self.cache.path(name)
-        t_idx = int(jnp.argmin(jnp.abs(self.fwd_grid.timesteps - h_t * 1000.0)))
-        zT = self.run_DDIMinversion(idx)
-        zt = self.DDIMforwardsteps(zT, 0, t_idx) if t_idx > 0 else zT
-        res = self.compute_local_basis(
-            zt, self.fwd_grid.timesteps[t_idx], tap, pca_rank
-        )
-        return self.cache.save(name, res.u, res.s, res.vT)
