@@ -20,7 +20,27 @@ class DriverCommonMixin:
     model)."""
 
     def _jitted(self, name, fn):
-        return self._cached(name, lambda: jax.jit(fn))
+        return self._cached(name, lambda: self._stage(name, fn))
+
+    def _stage(self, name, fn):
+        """jit, optionally through the AOT export cache (utils/aot.py):
+        'auto' exports on single-device accelerator runs — later processes
+        skip the multi-second re-trace of U-Net-sized programs (first-run
+        UX, VERDICT r3 item 9). Mesh runs stay plain jit (sharded exports
+        add constraints the cache doesn't key on)."""
+        mode = getattr(self.cfg, "aot_export", "off")
+        on = mode == "on" or (
+            mode == "auto"
+            and self.cfg.mesh is None
+            and jax.default_backend() != "cpu"
+        )
+        if not on:
+            return jax.jit(fn)
+        from ..utils.aot import AOTProgramCache
+
+        if not hasattr(self, "_aot_programs"):
+            self._aot_programs = AOTProgramCache()
+        return self._aot_programs.wrap(name, fn)
 
     def _cached(self, name, builder):
         if name not in self._jit_cache:

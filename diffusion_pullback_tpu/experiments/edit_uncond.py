@@ -75,6 +75,9 @@ class UncondExperimentConfig:
     # performance boosting: η=1 below this fraction of T (edit.py:1650)
     performance_boosting_t: float = 0.2
     use_performance_boosting: bool = True
+    # AOT program export (utils/aot.py): 'auto' serializes traced programs
+    # on single-device accelerator runs so later processes skip re-tracing
+    aot_export: str = "auto"
     # pullback
     pca_rank: int = 2
     pullback_min_iter: int = 10

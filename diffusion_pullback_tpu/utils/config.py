@@ -192,6 +192,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pca_rank", type=int, default=2)
     p.add_argument("--pullback_chunk_size", type=int, default=0,
                    help="probe-axis chunking for memory-bound configs; 0=off")
+    p.add_argument("--aot_export", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="AOT-export traced programs so later processes skip "
+                        "re-tracing (auto: on for single-device accelerator "
+                        "runs)")
     p.add_argument("--loop_impl", type=str, default="auto",
                    choices=["auto", "scan", "host", "chunk"],
                    help="'scan' fuses trajectories into one XLA program; "

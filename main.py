@@ -131,6 +131,7 @@ def build_uncond(args, mesh=None):
 
     exp_cfg = UncondExperimentConfig(
         mesh=mesh,
+        aot_export=args.aot_export,
         dataset_name=args.dataset_name or "noise",
         for_steps=args.for_steps,
         inv_steps=args.inv_steps,
@@ -305,6 +306,7 @@ def build_sd(args, mesh=None):
         x_space_guidance_num_step=args.x_space_guidance_num_step or 16,
         pca_rank=args.pca_rank,
         loop_impl=args.loop_impl,
+        aot_export=args.aot_export,
         loop_chunk=args.loop_chunk,
         # fused flash pair by default on accelerators (measured 1.5-5.2x
         # over xla/blockwise); pass --pullback_attn_impl xla to opt out
@@ -459,6 +461,7 @@ def build_sdxl(args, mesh=None):
         x_space_guidance_num_step=args.x_space_guidance_num_step or 16,
         pca_rank=args.pca_rank,
         loop_impl=args.loop_impl,
+        aot_export=args.aot_export,
         loop_chunk=args.loop_chunk,
         # fused flash pair by default on accelerators (measured 1.5-5.2x
         # over xla/blockwise); pass --pullback_attn_impl xla to opt out
