@@ -1,5 +1,6 @@
 from .pca import PCAResult, global_pca, local_pca, pca_to_x_direction
 from .pullback import (
+    batched_local_pullback,
     PullbackResult,
     local_decoder_pullback,
     local_encoder_pullback,
@@ -12,6 +13,7 @@ __all__ = [
     "PCAResult",
     "PullbackResult",
     "global_pca",
+    "batched_local_pullback",
     "local_decoder_pullback",
     "local_encoder_pullback",
     "local_pca",

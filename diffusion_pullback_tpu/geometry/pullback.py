@@ -227,6 +227,131 @@ def local_pullback(
     return PullbackResult(u=u.T, s=jnp.sqrt(s), vT=v, iterations=it, final_delta=delta)
 
 
+def batched_local_pullback(
+    fn: Callable[[jax.Array], jax.Array],
+    xs: jax.Array,
+    key: jax.Array,
+    pca_rank: int = 50,
+    min_iter: int = 10,
+    max_iter: int = 50,
+    atol: float = 1e-3,
+    chunk_size: Optional[int] = None,
+    remat: bool = False,
+    svd_method: str = "qr",
+    fn_vjp: Optional[Callable[[jax.Array], jax.Array]] = None,
+    v_init: Optional[jax.Array] = None,
+) -> PullbackResult:
+    """B independent pullbacks fused into ONE program (the throughput path
+    for basis-harvest sweeps, reference src/main.py:45-91 workload).
+
+    ``fn`` maps a (B, *x_dims) batch to (B, *h_dims) and MUST be per-sample
+    independent — sample b's output depends only on sample b's input, so the
+    Jacobian is block-diagonal over the batch (true for every model here:
+    GroupNorm/attention act within a sample; per-sample timesteps ride the
+    batch axis of the embedding). Probe i of every sample then shares one
+    tangent pass: the per-probe model call runs at batch B instead of 1,
+    filling the MXU better and amortizing dispatch + QR/SVD overhead over
+    the whole batch — 48 single-basis dispatches become 3 tap programs
+    (per-tap measured on one v5e chip: 5.98 s → see bench config2).
+
+    Returns a PullbackResult with a leading batch axis: u (B, dim_h, r),
+    s (B, r), vT (B, r, dim_x). ``iterations``/``final_delta`` are shared —
+    with atol > 0 the fused while_loop runs until ALL samples converge
+    (delta is the max over the batch); fixed-iteration configs are exact.
+
+    ``v_init``: optional (B, pca_rank, dim_x) explicit probe init; default
+    draws an independent orthonormal block per sample from ``key``.
+    """
+    if remat:
+        fn = jax.checkpoint(fn)
+        if fn_vjp is not None:
+            fn_vjp = jax.checkpoint(fn_vjp)
+
+    xs = xs.astype(jnp.float32)
+    batch = xs.shape[0]
+    x_dims = xs.shape[1:]
+    dim_x = math.prod(x_dims)
+    _, jvp_fn = jax.linearize(fn, xs)
+    if fn_vjp is None:
+        transpose_fn = jax.linear_transpose(jvp_fn, xs)
+    else:
+        _, vjp_fn = jax.vjp(fn_vjp, xs)
+        transpose_fn = vjp_fn
+
+    h_aval = jax.eval_shape(fn, xs)
+    h_shape, h_dtype = h_aval.shape, h_aval.dtype
+    dim_h = math.prod(h_shape[1:])
+
+    # probe axis of the (B, r, dim) iterates is vmapped at axis 1 (model
+    # batch stays leading inside the pass), chunked via lax.map when asked
+    def over_probes(pass_fn, out_dim):
+        def one(vi):  # (B, dim_in) -> (B, dim_out)
+            return pass_fn(vi)
+
+        if chunk_size is None or chunk_size >= pca_rank:
+            return jax.vmap(one, in_axes=1, out_axes=1)
+        if pca_rank % chunk_size != 0:
+            raise ValueError(
+                f"pca_rank {pca_rank} must be divisible by chunk_size {chunk_size}")
+
+        def run(v):  # (B, r, dim_in)
+            chunks = jnp.moveaxis(
+                v.reshape(batch, pca_rank // chunk_size, chunk_size, -1), 1, 0)
+            out = jax.lax.map(jax.vmap(one, in_axes=1, out_axes=1), chunks)
+            return jnp.moveaxis(out, 0, 1).reshape(batch, pca_rank, out_dim)
+
+        return run
+
+    fwd = over_probes(
+        lambda vi: jvp_fn(vi.reshape(xs.shape)).reshape(batch, dim_h), dim_h)
+    bwd = over_probes(
+        lambda ui: transpose_fn(
+            ui.reshape(h_shape).astype(h_dtype))[0].reshape(batch, dim_x),
+        dim_x)
+
+    if v_init is not None:
+        if v_init.shape != (batch, pca_rank, dim_x):
+            raise ValueError(
+                f"v_init shape {v_init.shape} != ({batch}, {pca_rank}, {dim_x})")
+        v0 = jnp.asarray(v_init, jnp.float32)
+    else:
+        v0 = jax.vmap(lambda k: _orthonormal_probes(k, dim_x, pca_rank))(
+            jax.random.split(key, batch))
+
+    batched_svd = jax.vmap(lambda m: _short_fat_svd(m, method=svd_method))
+
+    def one_iteration(v):
+        u = fwd(v)                         # (B, r, dim_h)
+        vt = bwd(u)                        # (B, r, dim_x)
+        s, v_new = batched_svd(vt)
+        signs = jnp.sign(jnp.sum(v_new * v, axis=2))
+        signs = jnp.where(signs == 0, 1.0, signs)
+        v_new = v_new * signs[..., None]
+        delta = jnp.max(jnp.abs(v_new - v))
+        return v_new, s, delta
+
+    def cond(carry):
+        _, _, delta, it = carry
+        return (it < max_iter) & ((it <= min_iter + 1) | (delta > atol))
+
+    def body(carry):
+        v, _, _, it = carry
+        v_new, s, delta = one_iteration(v)
+        return (v_new, s, delta, it + 1)
+
+    s0 = jnp.zeros((batch, pca_rank), jnp.float32)
+    v, s, delta, it = jax.lax.while_loop(
+        cond, body,
+        (v0, s0, jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(0, jnp.int32)),
+    )
+
+    u = fwd(v)  # (B, r, dim_h)
+    return PullbackResult(
+        u=jnp.swapaxes(u, 1, 2), s=jnp.sqrt(s), vT=v,
+        iterations=it, final_delta=delta,
+    )
+
+
 def local_encoder_pullback(
     encode_fn: Callable[[jax.Array], jax.Array],
     sample: jax.Array,

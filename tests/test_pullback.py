@@ -130,3 +130,105 @@ def test_qr_svd_recovers_ill_conditioned_spectrum():
     )
     assert np.all(np.isfinite(np.asarray(res_g.s)))
     assert np.all(np.isfinite(np.asarray(res_g.vT)))
+
+
+# ---- batched (fused multi-sample) pullback ----------------------------------
+
+
+@pytest.fixture(scope="module")
+def batched_mlp():
+    """Per-sample-independent batch map: (B, 24) -> (B, 16)."""
+    key = jax.random.key(11)
+    k1, k2, k3 = jax.random.split(key, 3)
+    W1 = jax.random.normal(k1, (24, 32)) / 5.0
+    W2 = jax.random.normal(k2, (32, 16)) / 5.0
+
+    def f(x):  # rows independent: the Jacobian is block-diagonal over B
+        return jnp.tanh(jnp.tanh(x @ W1) @ W2)
+
+    xs = jax.random.normal(k3, (3, 24))
+    return f, xs
+
+
+def test_batched_matches_per_sample(batched_mlp):
+    """The fused program must reproduce per-sample local_pullback exactly
+    (same probe init injected; fixed iterations)."""
+    from diffusion_pullback_tpu.geometry import batched_local_pullback
+
+    f, xs = batched_mlp
+    B, r, iters = xs.shape[0], 5, 8
+    v0 = jax.vmap(
+        lambda k: jnp.linalg.qr(jax.random.normal(k, (24, r)))[0].T
+    )(jax.random.split(jax.random.key(3), B))
+
+    fused = batched_local_pullback(
+        f, xs, jax.random.key(0), pca_rank=r,
+        min_iter=iters, max_iter=iters, atol=0.0, v_init=v0)
+
+    for b in range(B):
+        single = local_pullback(
+            lambda z: f(z), xs[b:b + 1], jax.random.key(0), pca_rank=r,
+            min_iter=iters, max_iter=iters, atol=0.0, v_init=v0[b])
+        np.testing.assert_allclose(
+            np.asarray(fused.vT[b]), np.asarray(single.vT), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(fused.s[b]), np.asarray(single.s), rtol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(fused.u[b]), np.asarray(single.u), atol=2e-5)
+
+
+def test_batched_chunked_and_vjp_variants(batched_mlp):
+    """chunk_size and fn_vjp paths agree with the plain fused program."""
+    from diffusion_pullback_tpu.geometry import batched_local_pullback
+
+    f, xs = batched_mlp
+    r, iters = 4, 6
+    kwargs = dict(pca_rank=r, min_iter=iters, max_iter=iters, atol=0.0)
+    base = batched_local_pullback(f, xs, jax.random.key(5), **kwargs)
+    chunked = batched_local_pullback(
+        f, xs, jax.random.key(5), chunk_size=2, **kwargs)
+    paired = batched_local_pullback(
+        f, xs, jax.random.key(5), fn_vjp=f, **kwargs)
+    for other in (chunked, paired):
+        np.testing.assert_allclose(
+            np.asarray(base.vT), np.asarray(other.vT), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(base.s), np.asarray(other.s), rtol=2e-5)
+
+
+def test_batched_unet_per_sample_timesteps():
+    """Fused pullback through the tiny U-Net with PER-SAMPLE timesteps
+    matches per-sample runs (the config-2 sweep: samples x t-grid in one
+    program, t riding the embedding batch axis)."""
+    from diffusion_pullback_tpu.geometry import batched_local_pullback
+
+    cfg = ddpm_tiny()
+    model = UNet2D(cfg)
+    B, r, iters = 2, 3, 6
+    size = cfg.sample_size
+    xs = jax.random.normal(jax.random.key(0), (B, size, size, 3))
+    ts = jnp.asarray([100.0, 700.0], jnp.float32)
+    params = model.init(jax.random.key(1), xs[:1], ts[:1])
+    tap = TapPoint("mid", 0)
+
+    dim_x = size * size * 3
+    v0 = jax.vmap(
+        lambda k: jnp.linalg.qr(jax.random.normal(k, (dim_x, r)))[0].T
+    )(jax.random.split(jax.random.key(2), B))
+
+    fused = batched_local_pullback(
+        lambda z: model.apply(params, z, ts, tap, method=UNet2D.encode),
+        xs, jax.random.key(3), pca_rank=r, min_iter=iters, max_iter=iters,
+        atol=0.0, v_init=v0)
+
+    for b in range(B):
+        single = local_pullback(
+            lambda z: model.apply(params, z, ts[b], tap, method=UNet2D.encode),
+            xs[b:b + 1], jax.random.key(3), pca_rank=r,
+            min_iter=iters, max_iter=iters, atol=0.0, v_init=v0[b])
+        np.testing.assert_allclose(
+            np.asarray(fused.s[b]), np.asarray(single.s), rtol=1e-4)
+        for i in range(r):
+            c = abs(float(np.dot(np.asarray(fused.vT[b, i]),
+                                 np.asarray(single.vT[i]))))
+            assert c > 1 - 1e-5, (b, i, c)
