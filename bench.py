@@ -5,20 +5,27 @@ Default mode measures BASELINE.md's full benchmark matrix —
   config 2  CelebA-HQ batch-8 sweep: top-3 PCs × {0.7T, 1.0T} × {down/mid/up}
   config 3  SD 2.1 latent pullback w/o edit prompt
   config 4  SD 2.1 pullback with CFG inside the JVP (s=2.5, fused 2·B)
-  config 5  SDXL-1024 pullback (single-chip compute proxy; the mesh variant
+  sd_e2e    the BASELINE.md NORTH STAR: top-PC discovery + 16-micro-step
+            guidance + 50-step DDIM finish on one SD image (< 10 s budget)
+  config 5  SDXL-1024 pullback at the CLI spec (r=8 × 5 iters, single chip;
+            the r=2×3 cut-down stays under config5_proxy; the mesh variant
             needs a v5e-8, recorded under "mesh")
 — on the flagship architectures at released-checkpoint shapes with
 deterministic random init (identical FLOPs/memory to the pretrained
 checkpoints, so timing is checkpoint-independent).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"config1".."config5_single_chip", "mesh"}. The top-level value is the
-config-1 end-to-end seconds (continuity with BENCH_r01/r02); the reference
-publishes no numbers (BASELINE.md), so vs_baseline is measured against the
-north-star budget of 10 s end-to-end.
+Every section additionally reports achieved TFLOP/s and MFU vs the chip's
+bf16 peak (utils/flops.py: loop-free component programs × trip counts —
+XLA cost analysis counts loop bodies once). Skip with DPB_BENCH_NO_MFU=1.
 
-Side modes (manual): --sd --sdxl --mesh --bf16 run one section and print
-its dict alone.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"config1".."config5_proxy", "sd_e2e", "sd_sampling", "mesh"}. The top-level
+value is the config-1 end-to-end seconds (continuity with BENCH_r01/r02);
+the reference publishes no numbers (BASELINE.md), so vs_baseline is
+measured against the north-star budget of 10 s end-to-end.
+
+Side modes (manual): --sd --sdxl --sdxl-proxy --mesh --bf16 run one section
+and print its dict alone.
 """
 
 import json
@@ -46,6 +53,7 @@ from diffusion_pullback_tpu.geometry import local_pullback
 from diffusion_pullback_tpu.models import TapPoint, UNet2D, ddpm_celebahq_256
 from diffusion_pullback_tpu.ops import DiffusionSchedule, ddim_timestep_grid
 from diffusion_pullback_tpu.samplers import ddim_forward, x_space_guidance_scan
+from diffusion_pullback_tpu.utils import flops as flops_util
 
 NORTH_STAR_SECONDS = 10.0
 # soft deadline for the full matrix: configs started after this many seconds
@@ -63,6 +71,27 @@ def _sync(tree):
     leaf = jax.tree.leaves(tree)[-1]
     _np.asarray(jax.numpy.ravel(leaf)[0])
     return tree
+
+
+def _mfu(flops, sec):
+    """MFU/TFLOP-s fields for a section (VERDICT r3 item 2). Gated by
+    DPB_BENCH_NO_MFU=1 (the FLOP fits lower extra component programs —
+    cached after the first run, but skippable on a cold emergency run)."""
+    if os.environ.get("DPB_BENCH_NO_MFU"):
+        return {}
+    try:
+        return flops_util.mfu_fields(flops, sec)
+    except Exception:
+        return {}
+
+
+def _try_flops(fn, *args, **kwargs):
+    if os.environ.get("DPB_BENCH_NO_MFU"):
+        return None
+    try:
+        return fn(*args, **kwargs)
+    except Exception:
+        return None
 
 
 def bench_config1():
@@ -151,7 +180,24 @@ def bench_config1():
     edit_sec = time.perf_counter() - t0
 
     e2e = pull_sec + edit_sec
-    return {
+
+    # MFU accounting (loop-free component programs × trip counts; see
+    # utils/flops.py for why per-program cost analysis can't be used)
+    enc_fn = lambda p, zz: model.apply(p, zz, t_edit, tap, method=UNet2D.encode)
+    pb_flops = _try_flops(
+        flops_util.pullback_flops, enc_fn, params, x, RANK, ITERS)
+    eps_flops = _try_flops(
+        flops_util.compiled_flops, lambda p, zz: model.apply(p, zz, t_edit),
+        params, x)
+    eps2_flops = _try_flops(
+        flops_util.compiled_flops, lambda p, zz: model.apply(p, zz, t_edit),
+        params, jnp.concatenate([x, x], axis=0))
+    # the finish scan runs len(timesteps[start:]) = num_steps-1-start evals
+    edit_flops = (16 * eps2_flops
+                  + (grid20.num_steps - 1 - edit_t_idx) * eps_flops
+                  if eps_flops and eps2_flops else None)
+
+    out = {
         "metric": "celebahq256_top1pc_pullback_plus_20step_edit",
         "value": round(e2e, 4),
         "unit": "s",
@@ -166,15 +212,30 @@ def bench_config1():
         "pca_rank": RANK,
         "power_iters": ITERS,
     }
+    pm = _mfu(pb_flops, pull_sec)
+    if pm:
+        out["pullback_perf"] = pm
+    if eps_flops:
+        out["ddim_perf"] = _mfu(eps_flops * (grid100.num_steps - 1), ddim_sec)
+    em = _mfu(edit_flops, edit_sec)
+    if em:
+        out["edit_perf"] = em
+    return out
 
 
 def bench_config2():
     """BASELINE config 2: CelebA-HQ batch-8 basis sweep — 8 samples ×
     {0.7T, 1.0T} × {down/mid/up taps} = 48 bases, top-3 PCs (r=8 probes,
-    5 iters). ONE jitted pullback program per tap with (x, t, key) traced —
-    48 dispatches of three modest programs. (A fused 16-pullback lax.map
-    program exceeds what the remote-compile relay accepts — measured r3:
-    transport broken-pipe at compile upload.)"""
+    5 iters). Headline: the FUSED path — `batched_local_pullback` runs all
+    16 (sample, t) bases of a tap as ONE program (per-sample timesteps ride
+    the embedding batch axis; Jacobians are block-diagonal), so the sweep is
+    3 dispatches with model batch 16 under the probe vmap. The r3
+    48-dispatch per-basis loop is kept under dispatch_per_basis_* for
+    continuity. (A lax.map over 16 SEPARATE pullback programs is what
+    exceeded the remote-compile relay in r3 — the fused program is one
+    pullback with bigger shapes, a smaller HLO than that.)"""
+    from diffusion_pullback_tpu.geometry import batched_local_pullback
+
     cfg = ddpm_celebahq_256()
     model = UNet2D(cfg)
     RANK, ITERS = 8, 5
@@ -209,9 +270,58 @@ def bench_config2():
                 last = r(params, xs[si], t_vals[ti],
                          keys[si * len(t_vals) + ti])
     _sync(last)
-    sec = time.perf_counter() - t0
+    dispatch_sec = time.perf_counter() - t0
+
+    # ---- fused path: one batched_local_pullback program per tap -----------
+    B = N_SAMPLES * len(t_vals)
+    xs_flat = jnp.reshape(
+        jnp.broadcast_to(xs[:, 0][:, None], (N_SAMPLES, len(t_vals), 256, 256, 3)),
+        (B, 256, 256, 3))
+    ts_flat = jnp.tile(t_vals, N_SAMPLES)
+
+    def fused_for(tap, chunk):
+        return jax.jit(
+            lambda p, xb, tb, k: batched_local_pullback(
+                lambda zz: model.apply(p, zz, tb, tap, method=UNet2D.encode),
+                xb, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS,
+                atol=0.0, chunk_size=chunk,
+            )
+        )
+
+    fused_sec = fused_chunk = None
+    for chunk in (None, 4, 2):  # widest probe vmap that fits wins
+        try:
+            fused = [fused_for(tap, chunk) for tap in taps]
+            for f in fused:
+                _sync(f(params, xs_flat, ts_flat, keys[0]))
+            t0 = time.perf_counter()
+            for f in fused:
+                last = f(params, xs_flat, ts_flat, keys[0])
+            _sync(last)
+            fused_sec, fused_chunk = time.perf_counter() - t0, chunk
+            break
+        except Exception as e:
+            print(f"[bench] config2 fused chunk={chunk}: "
+                  f"{type(e).__name__}", file=sys.stderr, flush=True)
+
+    sec = fused_sec if fused_sec is not None else dispatch_sec
     n_bases = len(taps) * N_SAMPLES * len(t_vals)
-    return {
+
+    # MFU: sum the per-tap pullback FLOPs (each tap truncates the encoder at
+    # a different depth), × samples × t-grid
+    flops = 0.0
+    for tap in taps:
+        f = _try_flops(
+            flops_util.pullback_flops,
+            lambda p, zz, tp=tap: model.apply(
+                p, zz, t_vals[0], tp, method=UNet2D.encode),
+            params, xs[0], RANK, ITERS)
+        if f is None:
+            flops = None
+            break
+        flops += f * N_SAMPLES * len(t_vals)
+
+    out = {
         "metric": "celebahq256_batch8_sweep_48_bases",
         "value": round(sec, 4),
         "unit": "s",
@@ -221,7 +331,19 @@ def bench_config2():
         "pca_rank": RANK,
         "power_iters": ITERS,
         "taps": "down2/mid0/up1",
+        "dispatch_per_basis_sec": round(dispatch_sec, 4),
+        "dispatch_per_basis_ms": round(1000 * dispatch_sec / n_bases, 1),
     }
+    if fused_sec is not None:
+        out["impl"] = "fused_batched" + (
+            f"_chunk{fused_chunk}" if fused_chunk else "")
+        out["speedup_vs_dispatch"] = round(dispatch_sec / fused_sec, 3)
+    else:
+        out["impl"] = "dispatch_per_basis (fused failed)"
+    m = _mfu(flops, sec)
+    if m:
+        out.update(m)
+    return out
 
 
 def _sd_setup(cfg_scale: float):
@@ -281,14 +403,17 @@ def _sd_pullback(cfg_scale: float):
     res = pull(params, z, ctx, jax.random.key(3))
     _sync(res)
     sec = time.perf_counter() - t0
-    return params, z, ctx, res, sec, RANK, ITERS
+    flops = _try_flops(
+        flops_util.pullback_flops, lambda p, q: e_jvp(p, q, ctx),
+        params, z, RANK, ITERS, fn_vjp=lambda p, q: e_vjp(p, q, ctx))
+    return params, z, ctx, res, sec, RANK, ITERS, flops
 
 
 def bench_config3():
     """BASELINE config 3: SD 2.1-base latent pullback w/o edit prompt —
     mid-tap, r=8, 5 iterations, fused flash pair."""
-    _, _, _, _, sec, RANK, ITERS = _sd_pullback(cfg_scale=0.0)
-    return {
+    _, _, _, _, sec, RANK, ITERS, flops = _sd_pullback(cfg_scale=0.0)
+    out = {
         "metric": "sd21_latent_pullback",
         "value": round(sec, 4),
         "unit": "s",
@@ -298,13 +423,15 @@ def bench_config3():
         "power_iters": ITERS,
         "attn": "flash_jvp/flash pair",
     }
+    out.update(_mfu(flops, sec))
+    return out
 
 
 def bench_config4():
     """BASELINE config 4: SD 2.1 pullback with CFG INSIDE the JVP
     (s=2.5, fused 2·B encoder, flash pair, r=8×5)."""
-    _, _, _, _, sec, RANK, ITERS = _sd_pullback(cfg_scale=2.5)
-    return {
+    _, _, _, _, sec, RANK, ITERS, flops = _sd_pullback(cfg_scale=2.5)
+    out = {
         "metric": "sd21_pullback_cfg_in_jvp",
         "value": round(sec, 4),
         "unit": "s",
@@ -315,6 +442,8 @@ def bench_config4():
         "guidance_scale": 2.5,
         "attn": "flash_jvp/flash pair",
     }
+    out.update(_mfu(flops, sec))
+    return out
 
 
 def bench_sd_sampling():
@@ -361,7 +490,12 @@ def bench_sd_sampling():
     zb, cb = z.astype(jnp.bfloat16), ctx.astype(jnp.bfloat16)
     res["bf16"] = run(ub, bf16_params, zb, cb)
     res["bf16_w_f32"] = run(ub, params, zb, cb)
-    return {
+    # MFU of the bf16 production path (cost analysis counts the same MACs
+    # regardless of dtype; the bf16 row is the one racing the MXU peak)
+    step_flops = _try_flops(
+        flops_util.compiled_flops,
+        lambda p, zz, c: ub.apply(p, zz, t, c), bf16_params, zb, cb)
+    out = {
         "metric": "sd21_unet_fwd_flash",
         "value": round(res["flash"] * 1e3, 3),
         "unit": "ms/step",
@@ -371,14 +505,24 @@ def bench_sd_sampling():
         "bf16_w_f32_ms": round(res["bf16_w_f32"] * 1e3, 3),
         "batch": 2,
     }
+    m = _mfu(step_flops, res["bf16"])
+    if m:
+        out["bf16_perf"] = m
+        f32m = _mfu(step_flops, res["flash"])
+        if f32m:
+            out["f32_flash_perf"] = f32m
+    return out
 
 
 def bench_sd_pullback():
-    """Side mode (--sd): config 3 plus the north-star edit tail —
-    16-micro-step x-space guidance + 50-step DDIM finish."""
+    """The BASELINE.md NORTH STAR (matrix key sd_e2e; also --sd): top-PC
+    discovery + 16-micro-step x-space guidance + 50-step DDIM finish on one
+    SD 2.1 image — the '< 10 s on v5e-8' headline workload, measured here
+    on one chip (VERDICT r3 item 1)."""
     from diffusion_pullback_tpu.models import UNet2DCondition, sd21_base_unet
 
-    params, z, ctx, res, sec, RANK, ITERS = _sd_pullback(cfg_scale=0.0)
+    params, z, ctx, res, sec, RANK, ITERS, pb_flops = _sd_pullback(
+        cfg_scale=0.0)
     unet = UNet2DCondition(sd21_base_unet())
 
     sched = DiffusionSchedule.scaled_linear()
@@ -401,7 +545,20 @@ def bench_sd_pullback():
     edit_sec = time.perf_counter() - t0
 
     e2e = sec + edit_sec
-    return {
+
+    eps1 = _try_flops(
+        flops_util.compiled_flops,
+        lambda p, q, c: unet.apply(p, q, grid50.timesteps[edit_idx], c),
+        params, z, ctx)
+    eps2 = _try_flops(
+        flops_util.compiled_flops,
+        lambda p, q, c: unet.apply(p, q, grid50.timesteps[edit_idx], c),
+        params, jnp.concatenate([z, z], axis=0),
+        jnp.concatenate([ctx, ctx], axis=0))
+    edit_flops = (16 * eps2 + (grid50.num_steps - 1 - edit_idx) * eps1
+                  if eps1 and eps2 else None)
+
+    out = {
         "metric": "sd21_top1pc_pullback_plus_16xsg_plus_50step_edit",
         "value": round(e2e, 4),
         "unit": "s",
@@ -412,14 +569,23 @@ def bench_sd_pullback():
         "pca_rank": RANK,
         "power_iters": ITERS,
     }
+    pm = _mfu(pb_flops, sec)
+    if pm:
+        out["pullback_perf"] = pm
+    em = _mfu(edit_flops, edit_sec)
+    if em:
+        out["edit_perf"] = em
+    return out
 
 
-def bench_sdxl_pullback():
-    """BASELINE config 5, single-chip compute proxy: SDXL-base 1024px
-    mid-tap pullback with random-init bf16 weights — r=2, 3 iterations,
-    probe chunking + remat (the single-chip memory recipe). The full
-    config-5 spec (top-8 PCs × full t schedule) needs a v5e-8 mesh; the
-    mesh path is dryrun-validated (parallel/sharded_pullback.py). The
+def bench_sdxl_pullback(rank=8, iters=5, chunk=2, with_mfu=True):
+    """BASELINE config 5, single chip, AT THE CLI SPEC: SDXL-base 1024px
+    mid-tap pullback, top-8 PCs × 5 power iterations, bf16 random-init
+    weights, probe chunking + remat (the single-chip memory recipe). The
+    rank-2×3 small proxy r1-r3 reported is kept under config5_proxy
+    (VERDICT r3 item 4 — stop selling the proxy at full price). The full
+    config-5 spec additionally sweeps the whole t schedule on a v5e-8 mesh;
+    the mesh path is dryrun-validated (parallel/sharded_pullback.py). The
     differentiated encoder runs the fused flash kernel pair (custom_jvp
     tangent / custom_vjp backward): 1.51× over blockwise XLA here."""
     import dataclasses
@@ -445,7 +611,7 @@ def bench_sdxl_pullback():
     )(jax.random.key(3))
 
     tap = TapPoint("mid", 0)
-    RANK, ITERS = 2, 3
+    RANK, ITERS = rank, iters
     enc = lambda u: (lambda p, q, c: u.apply(
         p, q, t, c, tap, added_cond=added, method=U.encode))
     e_jvp, e_vjp = enc(unet_jvp), enc(unet_vjp)
@@ -453,7 +619,7 @@ def bench_sdxl_pullback():
         lambda p, zz, c, k: local_pullback(
             lambda q: e_jvp(p, q, c),
             zz, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS, atol=0.0,
-            chunk_size=1, remat=True,
+            chunk_size=min(chunk, RANK), remat=True,
             fn_vjp=lambda q: e_vjp(p, q, c),
         )
     )
@@ -462,7 +628,7 @@ def bench_sdxl_pullback():
     res = pull(params, z, ctx, jax.random.key(4))
     _sync(res)
     sec = time.perf_counter() - t0
-    return {
+    out = {
         "metric": "sdxl1024_mid_tap_pullback",
         "value": round(sec, 4),
         "unit": "s",
@@ -473,6 +639,22 @@ def bench_sdxl_pullback():
         "dtype": "bfloat16",
         "attn": "flash_jvp/flash pair",
     }
+    if with_mfu:
+        flops = _try_flops(
+            flops_util.pullback_flops, lambda p, q: e_jvp(p, q, ctx),
+            params, z, RANK, ITERS, fn_vjp=lambda p, q: e_vjp(p, q, ctx))
+        out.update(_mfu(flops, sec))
+    return out
+
+
+def bench_sdxl_proxy():
+    """config5_proxy: the rank-2 × 3-iteration SDXL cut-down reported as
+    config5 in BENCH_r01-r03 — kept for cross-round continuity, clearly
+    labeled. MFU lowers are shared with the spec run's cache."""
+    out = bench_sdxl_pullback(rank=2, iters=3, chunk=1)
+    out["metric"] = "sdxl1024_mid_tap_pullback_rank2_proxy"
+    out["note"] = "cut-down proxy (r=2, 3 iters); config5_single_chip is the CLI-spec run"
+    return out
 
 
 def bench_mesh_pullback():
@@ -888,7 +1070,9 @@ def main():
         ("config2", bench_config2),
         ("config3", bench_config3),
         ("config4", bench_config4),
-        ("config5_single_chip", bench_sdxl_pullback),
+        ("sd_e2e", bench_sd_pullback),  # the BASELINE.md north star
+        ("config5_single_chip", bench_sdxl_pullback),  # CLI spec r=8×5
+        ("config5_proxy", bench_sdxl_proxy),  # r=2×3 continuity number
         ("sd_sampling", bench_sd_sampling),
         ("mesh", bench_mesh_pullback),
     ]
@@ -941,6 +1125,8 @@ def main():
 if __name__ == "__main__":
     if "--sdxl" in sys.argv:
         print(json.dumps(bench_sdxl_pullback()))
+    elif "--sdxl-proxy" in sys.argv:
+        print(json.dumps(bench_sdxl_proxy()))
     elif "--sd" in sys.argv:
         print(json.dumps(bench_sd_pullback()))
     elif "--mesh" in sys.argv:
