@@ -302,7 +302,8 @@ def bench_config2():
             break
         except Exception as e:
             print(f"[bench] config2 fused chunk={chunk}: "
-                  f"{type(e).__name__}", file=sys.stderr, flush=True)
+                  f"{type(e).__name__}: {str(e)[:300]}",
+                  file=sys.stderr, flush=True)
 
     sec = fused_sec if fused_sec is not None else dispatch_sec
     n_bases = len(taps) * N_SAMPLES * len(t_vals)

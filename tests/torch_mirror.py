@@ -185,3 +185,128 @@ class TorchUNet2D:
                 return self.sample
 
         return _O(out)
+
+
+class TorchCondEncoderMirror:
+    """Generic NCHW torch mirror of UNet2DCondition's conditioned get_h path
+    (encode to the mid tap) at ANY UNet2DConditionConfig with linear
+    transformer projections — used by the FULL-SIZE SD2.1 oracle
+    (tests/test_fullscale_sd_oracle.py), generalizing the tiny hard-coded
+    mirror in test_reference_oracle_sd.py. Consumes the converter-exported
+    state dict and exposes the reference's conditioned model contract
+    `get_h(sample, timestep=, encoder_hidden_states=, op=, block_idx=)`
+    (/root/reference/src/utils/utils.py:438-527)."""
+
+    def __init__(self, state_dict, cfg):
+        assert cfg.use_linear_projection, (
+            "mirror implements the SD2.x/SDXL linear proj_in/out layout")
+        assert not cfg.addition_embed_dim, (
+            "SDXL addition embeddings not mirrored here")
+        self.sd = {
+            k: torch.as_tensor(np.asarray(v), dtype=torch.float32)
+            for k, v in state_dict.items()
+        }
+        self.cfg = cfg
+
+    def _conv(self, name, x, stride=1, padding=1):
+        return F.conv2d(x, self.sd[f"{name}.weight"], self.sd[f"{name}.bias"],
+                        stride=stride, padding=padding)
+
+    def _linear(self, name, x, bias=True):
+        return F.linear(x, self.sd[f"{name}.weight"],
+                        self.sd[f"{name}.bias"] if bias else None)
+
+    def _gn(self, name, x, eps):
+        return F.group_norm(
+            x.contiguous(), self.cfg.norm_num_groups,
+            self.sd[f"{name}.weight"], self.sd[f"{name}.bias"], eps=eps,
+        )
+
+    def _ln(self, name, x):
+        return F.layer_norm(x, (x.shape[-1],), self.sd[f"{name}.weight"],
+                            self.sd[f"{name}.bias"], eps=1e-6)
+
+    def _t_emb(self, t, batch):
+        cfg = self.cfg
+        dim = cfg.block_out_channels[0]
+        half = dim // 2
+        t = torch.as_tensor(t, dtype=torch.float32).reshape(-1)
+        if t.numel() == 1:
+            t = t.expand(batch)
+        exponent = -math.log(10000.0) * torch.arange(half, dtype=torch.float32)
+        exponent = exponent / (half - cfg.freq_shift)
+        emb = t[:, None] * torch.exp(exponent)[None, :]
+        parts = [torch.cos(emb), torch.sin(emb)]
+        if not cfg.flip_sin_to_cos:
+            parts = parts[::-1]
+        emb = torch.cat(parts, dim=-1)
+        emb = self._linear("time_embedding.linear_1", emb)
+        return self._linear("time_embedding.linear_2", F.silu(emb))
+
+    def _resnet(self, name, x, temb):
+        in_ch = x.shape[1]
+        out_ch = self.sd[f"{name}.conv1.weight"].shape[0]
+        h = F.silu(self._gn(f"{name}.norm1", x, self.cfg.norm_eps))
+        h = self._conv(f"{name}.conv1", h)
+        proj = self._linear(f"{name}.time_emb_proj", F.silu(temb))
+        h = h + proj[:, :, None, None]
+        h = F.silu(self._gn(f"{name}.norm2", h, self.cfg.norm_eps))
+        h = self._conv(f"{name}.conv2", h)
+        if in_ch != out_ch:
+            x = self._conv(f"{name}.conv_shortcut", x, padding=0)
+        return x + h
+
+    def _mha(self, name, x_tok, ctx, heads):
+        b, sq, _ = x_tok.shape
+        sk = ctx.shape[1]
+        q = self._linear(f"{name}.to_q", x_tok, bias=False)
+        k = self._linear(f"{name}.to_k", ctx, bias=False)
+        v = self._linear(f"{name}.to_v", ctx, bias=False)
+        d = q.shape[-1] // heads
+        split = lambda a, s: a.reshape(b, s, heads, d).permute(0, 2, 1, 3)
+        q, k, v = split(q, sq), split(k, sk), split(v, sk)
+        probs = torch.softmax(q @ k.transpose(-1, -2) / math.sqrt(d), dim=-1)
+        out = (probs @ v).permute(0, 2, 1, 3).reshape(b, sq, heads * d)
+        return self._linear(f"{name}.to_out", out)
+
+    def _transformer(self, name, x, ctx, heads, depth):
+        b, c, hh, ww = x.shape
+        residual = x
+        h = self._gn(f"{name}.norm", x, 1e-6)  # Transformer2D GN eps
+        tok = h.permute(0, 2, 3, 1).reshape(b, hh * ww, c)
+        tok = self._linear(f"{name}.proj_in", tok)
+        for di in range(depth):
+            blk = f"{name}.transformer_blocks.{di}"
+            sa = self._ln(f"{blk}.norm1", tok)
+            tok = tok + self._mha(f"{blk}.attn1", sa, sa, heads)
+            tok = tok + self._mha(
+                f"{blk}.attn2", self._ln(f"{blk}.norm2", tok), ctx, heads)
+            ff_in = self._ln(f"{blk}.norm3", tok)
+            proj = self._linear(f"{blk}.ff.net.0.proj", ff_in)
+            a, gate = proj.chunk(2, dim=-1)
+            tok = tok + self._linear(f"{blk}.ff.net.2",
+                                     a * F.gelu(gate, approximate="none"))
+        tok = self._linear(f"{name}.proj_out", tok)
+        return residual + tok.reshape(b, hh, ww, c).permute(0, 3, 1, 2)
+
+    def get_h(self, sample, timestep=None, encoder_hidden_states=None,
+              op=None, block_idx=None):
+        assert (op, block_idx) == ("mid", 0), "mirror taps the mid block only"
+        cfg = self.cfg
+        ctx = encoder_hidden_states
+        temb = self._t_emb(timestep, sample.shape[0])
+        h = self._conv("conv_in", sample)
+        n = len(cfg.down_block_types)
+        for i, bt in enumerate(cfg.down_block_types):
+            for j in range(cfg.layers_per_block):
+                h = self._resnet(f"down_blocks.{i}.resnets.{j}", h, temb)
+                if bt == "cross":
+                    h = self._transformer(
+                        f"down_blocks.{i}.attentions.{j}", h, ctx,
+                        cfg.attention_heads[i], cfg.transformer_depth[i])
+            if i < n - 1:
+                h = self._conv(f"down_blocks.{i}.downsamplers.0", h, stride=2)
+        h = self._resnet("mid_block.resnets.0", h, temb)
+        h = self._transformer("mid_block.attentions.0", h, ctx,
+                              cfg.attention_heads[-1], cfg.transformer_depth[-1])
+        return self._resnet("mid_block.resnets.1", h, temb)
