@@ -127,6 +127,9 @@ class UNet2DConditionConfig:
     dtype: str = "float32"
     precision: Optional[str] = None
     attn_impl: str = "xla"
+    # fuse the q/k/v projections into one MXU dot (models/layers.project_qkv);
+    # set False under a tp mesh so column-sharded kernels stay unconcatenated
+    fuse_qkv: bool = True
 
 
 def sd21_base_unet(**over) -> UNet2DConditionConfig:

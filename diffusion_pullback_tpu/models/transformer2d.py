@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import attention
+from .layers import project_qkv
 
 
 class CrossAttention(nn.Module):
@@ -32,23 +33,28 @@ class CrossAttention(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     attn_impl: str = "xla"
+    fuse_qkv: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None):
-        context = x if context is None else context
         inner = self.heads * self.head_dim
-        dense = lambda feat, name, bias: nn.Dense(
-            feat, use_bias=bias, dtype=self.dtype, precision=self.precision,
-            name=name,
-        )
         b, sq, _ = x.shape
-        sk = context.shape[1]
-        q = dense(inner, "to_q", False)(x).reshape(b, sq, self.heads, self.head_dim)
-        k = dense(inner, "to_k", False)(context).reshape(b, sk, self.heads, self.head_dim)
-        v = dense(inner, "to_v", False)(context).reshape(b, sk, self.heads, self.head_dim)
-        out = attention(q, k, v, impl=self.attn_impl, precision=self.precision)
+        sk = sq if context is None else context.shape[1]
+        q, k, v = project_qkv(
+            x, context, inner, use_bias=False, dtype=self.dtype,
+            precision=self.precision, fuse=self.fuse_qkv,
+        )
+        out = attention(
+            q.reshape(b, sq, self.heads, self.head_dim),
+            k.reshape(b, sk, self.heads, self.head_dim),
+            v.reshape(b, sk, self.heads, self.head_dim),
+            impl=self.attn_impl, precision=self.precision,
+        )
         out = out.reshape(b, sq, inner)
-        return dense(self.out_dim, "to_out", True)(out)
+        return nn.Dense(
+            self.out_dim, use_bias=True, dtype=self.dtype,
+            precision=self.precision, name="to_out",
+        )(out)
 
 
 class GEGLU(nn.Module):
@@ -87,6 +93,7 @@ class BasicTransformerBlock(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     attn_impl: str = "xla"
+    fuse_qkv: bool = True
 
     @nn.compact
     def __call__(self, x, context):
@@ -95,7 +102,7 @@ class BasicTransformerBlock(nn.Module):
         attn = lambda name: CrossAttention(
             heads=self.heads, head_dim=self.head_dim, out_dim=dim,
             dtype=self.dtype, precision=self.precision,
-            attn_impl=self.attn_impl, name=name,
+            attn_impl=self.attn_impl, fuse_qkv=self.fuse_qkv, name=name,
         )
         x = x + attn("attn1")(ln("norm1")(x))
         x = x + attn("attn2")(ln("norm2")(x), context)
@@ -119,6 +126,7 @@ class Transformer2D(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     attn_impl: str = "xla"
+    fuse_qkv: bool = True
     remat: bool = False  # checkpoint each transformer block (deep stacks /
     #                      Jacobian work at SDXL scale; trades FLOPs for HBM)
 
@@ -143,7 +151,7 @@ class Transformer2D(nn.Module):
             x = Block(
                 heads=self.heads, head_dim=self.head_dim, dtype=self.dtype,
                 precision=self.precision, attn_impl=self.attn_impl,
-                name=f"transformer_blocks_{i}",
+                fuse_qkv=self.fuse_qkv, name=f"transformer_blocks_{i}",
             )(x, context)
         if self.use_linear_projection:
             x = nn.Dense(c, dtype=self.dtype, precision=self.precision,

@@ -65,6 +65,7 @@ class CrossAttnDownBlock(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     attn_impl: str = "xla"
+    fuse_qkv: bool = True
     remat_transformer: bool = False
 
     @nn.compact
@@ -82,7 +83,7 @@ class CrossAttnDownBlock(nn.Module):
                 heads=self.heads, head_dim=self.head_dim, depth=self.depth,
                 use_linear_projection=self.use_linear_projection,
                 norm_num_groups=self.norm_num_groups, dtype=self.dtype,
-                precision=self.precision, attn_impl=self.attn_impl,
+                precision=self.precision, attn_impl=self.attn_impl, fuse_qkv=self.fuse_qkv,
                 remat=self.remat_transformer,
                 name=f"attentions_{i}",
             )(x, context)
@@ -137,6 +138,7 @@ class CrossAttnUpBlock(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     attn_impl: str = "xla"
+    fuse_qkv: bool = True
     remat_transformer: bool = False
 
     @nn.compact
@@ -154,7 +156,7 @@ class CrossAttnUpBlock(nn.Module):
                 heads=self.heads, head_dim=self.head_dim, depth=self.depth,
                 use_linear_projection=self.use_linear_projection,
                 norm_num_groups=self.norm_num_groups, dtype=self.dtype,
-                precision=self.precision, attn_impl=self.attn_impl,
+                precision=self.precision, attn_impl=self.attn_impl, fuse_qkv=self.fuse_qkv,
                 remat=self.remat_transformer,
                 name=f"attentions_{i}",
             )(x, context)
@@ -203,6 +205,7 @@ class CrossAttnMidBlock(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     attn_impl: str = "xla"
+    fuse_qkv: bool = True
     remat_transformer: bool = False
 
     @nn.compact
@@ -217,7 +220,7 @@ class CrossAttnMidBlock(nn.Module):
             heads=self.heads, head_dim=self.head_dim, depth=self.depth,
             use_linear_projection=self.use_linear_projection,
             norm_num_groups=self.norm_num_groups, dtype=self.dtype,
-            precision=self.precision, attn_impl=self.attn_impl,
+            precision=self.precision, attn_impl=self.attn_impl, fuse_qkv=self.fuse_qkv,
             remat=self.remat_transformer,
             name="attentions_0",
         )(x, context)
@@ -264,7 +267,7 @@ class UNet2DCondition(nn.Module):
                     heads=cfg.attention_heads[i], head_dim=head_dims[i],
                     depth=cfg.transformer_depth[i],
                     use_linear_projection=cfg.use_linear_projection,
-                    attn_impl=cfg.attn_impl,
+                    attn_impl=cfg.attn_impl, fuse_qkv=cfg.fuse_qkv,
                     remat_transformer=cfg.remat_transformer, **common,
                 ))
             else:
@@ -278,7 +281,7 @@ class UNet2DCondition(nn.Module):
             use_linear_projection=cfg.use_linear_projection,
             norm_num_groups=cfg.norm_num_groups, norm_eps=cfg.norm_eps,
             dropout=cfg.dropout, dtype=dtype, precision=precision,
-            attn_impl=cfg.attn_impl,
+            attn_impl=cfg.attn_impl, fuse_qkv=cfg.fuse_qkv,
             remat_transformer=cfg.remat_transformer,
         )
 
@@ -304,7 +307,7 @@ class UNet2DCondition(nn.Module):
                     heads=rev_heads[i], head_dim=rev_head_dims[i],
                     depth=rev_depth[i],
                     use_linear_projection=cfg.use_linear_projection,
-                    attn_impl=cfg.attn_impl,
+                    attn_impl=cfg.attn_impl, fuse_qkv=cfg.fuse_qkv,
                     remat_transformer=cfg.remat_transformer, **common,
                 ))
             else:

@@ -237,6 +237,10 @@ def build_sd(args, mesh=None):
         ucfg = dataclasses.replace(ucfg, precision=args.matmul_precision)
     if args.attn_impl:
         ucfg = dataclasses.replace(ucfg, attn_impl=args.attn_impl)
+    if mesh is not None and mesh.shape.get("tp", 1) > 1:
+        # keep q/k/v dots separate so the Megatron column-sharded kernels
+        # (parallel/tp.py) are consumed in place, not re-concatenated
+        ucfg = dataclasses.replace(ucfg, fuse_qkv=False)
     unet = UNet2DCondition(ucfg)
     vae = AutoencoderKL(sd_vae(attn_impl=args.attn_impl))
     text = CLIPTextModel(sd21_text_encoder())
@@ -368,6 +372,8 @@ def build_sdxl(args, mesh=None):
         ucfg = dataclasses.replace(ucfg, precision=args.matmul_precision)
     if args.attn_impl:
         ucfg = dataclasses.replace(ucfg, attn_impl=args.attn_impl)
+    if mesh is not None and mesh.shape.get("tp", 1) > 1:
+        ucfg = dataclasses.replace(ucfg, fuse_qkv=False)
     unet = UNet2DCondition(ucfg)
     vae = AutoencoderKL(
         dataclasses.replace(sd_vae(attn_impl=args.attn_impl),

@@ -242,3 +242,43 @@ def test_vae_flash_attn_impl_matches_xla():
         vf = AutoencoderKL(cfg_f)
         out_f = vf.apply(params, x, method=AutoencoderKL.encode)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), atol=2e-5)
+
+
+def test_fuse_qkv_identical_params_and_outputs(sd_tiny):
+    """project_qkv's fused dot must be a pure execution detail: the param
+    tree (names, shapes, init values) and the forward outputs match the
+    unfused three-Dense layout exactly (same per-element reduction order —
+    concatenation along the output axis reassociates nothing)."""
+    import dataclasses
+
+    model, params, x, t, ctx = sd_tiny
+    unfused = UNet2DCondition(
+        dataclasses.replace(model.config, fuse_qkv=False))
+    params_u = unfused.init(jax.random.key(0), x, t, ctx)
+    jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        params, params_u))
+    out_f = model.apply(params, x, t, ctx)
+    out_u = unfused.apply(params, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               rtol=0, atol=1e-6)
+
+
+def test_fuse_qkv_selfattention2d_parity():
+    """Same guarantee for the uncond family's SelfAttention2D."""
+    from diffusion_pullback_tpu.models.layers import SelfAttention2D
+
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 4, 4, 16)),
+                    jnp.float32)
+    fused = SelfAttention2D(num_head_channels=8, norm_num_groups=4)
+    plain = SelfAttention2D(num_head_channels=8, norm_num_groups=4,
+                            fuse_qkv=False)
+    p = fused.init(jax.random.key(3), x)
+    p2 = plain.init(jax.random.key(3), x)
+    jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)), p, p2))
+    np.testing.assert_allclose(np.asarray(fused.apply(p, x)),
+                               np.asarray(plain.apply(p, x)),
+                               rtol=0, atol=1e-6)
