@@ -226,14 +226,13 @@ def bench_config1():
 def bench_config2():
     """BASELINE config 2: CelebA-HQ batch-8 basis sweep — 8 samples ×
     {0.7T, 1.0T} × {down/mid/up taps} = 48 bases, top-3 PCs (r=8 probes,
-    5 iters). Headline: the FUSED path — `batched_local_pullback` runs all
-    16 (sample, t) bases of a tap as ONE program (per-sample timesteps ride
-    the embedding batch axis; Jacobians are block-diagonal), so the sweep is
-    3 dispatches with model batch 16 under the probe vmap. The r3
+    5 iters). Headline: the FUSED path — `batched_local_pullback` runs the
+    16 (sample, t) bases of a tap as one program (per-sample timesteps ride
+    the embedding batch axis; Jacobians are block-diagonal), sub-batched to
+    fit HBM per the ladder below (the full B=16 program needs 19.5 G of
+    linearize residuals — docs/compile_helper_faults.md fault 2). The r3
     48-dispatch per-basis loop is kept under dispatch_per_basis_* for
-    continuity. (A lax.map over 16 SEPARATE pullback programs is what
-    exceeded the remote-compile relay in r3 — the fused program is one
-    pullback with bigger shapes, a smaller HLO than that.)"""
+    continuity."""
     from diffusion_pullback_tpu.geometry import batched_local_pullback
 
     cfg = ddpm_celebahq_256()
@@ -279,29 +278,38 @@ def bench_config2():
         (B, 256, 256, 3))
     ts_flat = jnp.tile(t_vals, N_SAMPLES)
 
-    def fused_for(tap, chunk):
+    def fused_for(tap, chunk, remat):
         return jax.jit(
             lambda p, xb, tb, k: batched_local_pullback(
                 lambda zz: model.apply(p, zz, tb, tap, method=UNet2D.encode),
                 xb, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS,
-                atol=0.0, chunk_size=chunk,
+                atol=0.0, chunk_size=chunk, remat=remat,
             )
         )
 
-    fused_sec = fused_chunk = None
-    for chunk in (None, 4, 2):  # widest probe vmap that fits wins
+    # HBM ladder (docs/compile_helper_faults.md fault 2): the full B=16
+    # fused program at 256px needs 19.5 G of linearize residuals and OOMs a
+    # 16 G chip, so try it with remat (residuals traded for ~1.3x encoder
+    # FLOPs), then B=8 sub-batches (2 dispatches/tap), then B=8 + remat.
+    fused_sec = fused_variant = None
+    for nb, chunk, remat in ((16, 2, False), (16, 2, True),
+                             (8, 2, False), (8, 2, True)):
+        xparts = [xs_flat[i:i + nb] for i in range(0, B, nb)]
+        tparts = [ts_flat[i:i + nb] for i in range(0, B, nb)]
         try:
-            fused = [fused_for(tap, chunk) for tap in taps]
-            for f in fused:
-                _sync(f(params, xs_flat, ts_flat, keys[0]))
+            fused = [fused_for(tap, chunk, remat) for tap in taps]
+            for f in fused:  # compile (one program per tap)
+                _sync(f(params, xparts[0], tparts[0], keys[0]))
             t0 = time.perf_counter()
             for f in fused:
-                last = f(params, xs_flat, ts_flat, keys[0])
+                for xp, tp in zip(xparts, tparts):
+                    last = f(params, xp, tp, keys[0])
             _sync(last)
-            fused_sec, fused_chunk = time.perf_counter() - t0, chunk
+            fused_sec = time.perf_counter() - t0
+            fused_variant = f"B{nb}_chunk{chunk}" + ("_remat" if remat else "")
             break
         except Exception as e:
-            print(f"[bench] config2 fused chunk={chunk}: "
+            print(f"[bench] config2 fused B={nb} chunk={chunk} remat={remat}: "
                   f"{type(e).__name__}: {str(e)[:300]}",
                   file=sys.stderr, flush=True)
 
@@ -336,8 +344,7 @@ def bench_config2():
         "dispatch_per_basis_ms": round(1000 * dispatch_sec / n_bases, 1),
     }
     if fused_sec is not None:
-        out["impl"] = "fused_batched" + (
-            f"_chunk{fused_chunk}" if fused_chunk else "")
+        out["impl"] = f"fused_batched_{fused_variant}"
         out["speedup_vs_dispatch"] = round(dispatch_sec / fused_sec, 3)
     else:
         out["impl"] = "dispatch_per_basis (fused failed)"
@@ -347,17 +354,21 @@ def bench_config2():
     return out
 
 
-def _sd_setup(cfg_scale: float):
+def _sd_setup(cfg_scale: float, attn: str = "flash"):
     """Shared SD 2.1-base rig for configs 3/4: fused flash kernel pair on
-    the differentiated encoder (measured 0.59 s xla → 0.38 s one v5e chip)."""
+    the differentiated encoder (measured 0.59 s xla → 0.38 s one v5e chip);
+    attn="xla" swaps both halves to the XLA attention (the config-4 CFG
+    shapes crash the remote compile helper under the flash pair — see
+    docs/compile_helper_faults.md)."""
     import dataclasses
 
     from diffusion_pullback_tpu.models import UNet2DCondition, sd21_base_unet
     from diffusion_pullback_tpu.models.unet2d_condition import UNet2DCondition as U
 
-    cfg = sd21_base_unet()
-    unet_jvp = UNet2DCondition(dataclasses.replace(cfg, attn_impl="flash_jvp"))
-    unet_vjp = UNet2DCondition(dataclasses.replace(cfg, attn_impl="flash"))
+    i_jvp, i_vjp = ("flash_jvp", "flash") if attn == "flash" else (attn, attn)
+    unet_jvp = UNet2DCondition(dataclasses.replace(cfg := sd21_base_unet(),
+                                                   attn_impl=i_jvp))
+    unet_vjp = UNet2DCondition(dataclasses.replace(cfg, attn_impl=i_vjp))
     z = jax.random.normal(jax.random.key(0), (1, 64, 64, 4), jnp.float32)
     ctx = jax.random.normal(jax.random.key(1), (1, 77, 1024), jnp.float32)
     neg = jax.random.normal(jax.random.key(5), (1, 77, 1024), jnp.float32)
@@ -389,8 +400,8 @@ def _sd_setup(cfg_scale: float):
     return params, z, ctx, e_jvp, e_vjp
 
 
-def _sd_pullback(cfg_scale: float):
-    params, z, ctx, e_jvp, e_vjp = _sd_setup(cfg_scale)
+def _sd_pullback(cfg_scale: float, attn: str = "flash"):
+    params, z, ctx, e_jvp, e_vjp = _sd_setup(cfg_scale, attn=attn)
     RANK, ITERS = 8, 5
     pull = jax.jit(
         lambda p, zz, c, k: local_pullback(
@@ -430,8 +441,21 @@ def bench_config3():
 
 def bench_config4():
     """BASELINE config 4: SD 2.1 pullback with CFG INSIDE the JVP
-    (s=2.5, fused 2·B encoder, flash pair, r=8×5)."""
-    _, _, _, _, sec, RANK, ITERS, flops = _sd_pullback(cfg_scale=2.5)
+    (s=2.5, fused 2·B encoder, r=8×5). The flash pair at the CFG-doubled
+    batch reproducibly crashes the remote compile helper (r3+r4, probe
+    c4_xla_r8 vs c4_flash_r8 — docs/compile_helper_faults.md), so the
+    section tries flash first and falls back to the XLA pair; a number at
+    reduced kernel speed beats an error row."""
+    attn_used = "flash_jvp/flash pair"
+    try:
+        _, _, _, _, sec, RANK, ITERS, flops = _sd_pullback(cfg_scale=2.5)
+    except Exception as e:
+        print(f"[bench] config4 flash pair: {type(e).__name__}: "
+              f"{str(e)[:200]} — falling back to xla attention",
+              file=sys.stderr, flush=True)
+        _, _, _, _, sec, RANK, ITERS, flops = _sd_pullback(
+            cfg_scale=2.5, attn="xla")
+        attn_used = "xla (flash pair failed to compile)"
     out = {
         "metric": "sd21_pullback_cfg_in_jvp",
         "value": round(sec, 4),
@@ -441,7 +465,7 @@ def bench_config4():
         "pca_rank": RANK,
         "power_iters": ITERS,
         "guidance_scale": 2.5,
-        "attn": "flash_jvp/flash pair",
+        "attn": attn_used,
     }
     out.update(_mfu(flops, sec))
     return out

@@ -91,6 +91,20 @@ def _tuned_table() -> dict:
     return _TUNED
 
 
+# Largest (block_q*block_k) tiling validated inside a COMPOSED differentiated
+# program on v5e. The jvp/bwd kernels keep ~3-4 live (block_q, block_k) f32
+# intermediates (s, p, ds, p*ds) on the scoped-VMEM stack, so a 1024x1024
+# tiling that wins in a standalone sweep (~12 MB of intermediates alone)
+# overflows the 16 MB scoped-vmem limit once the surrounding program (fused
+# QKV residuals, probe vmap) adds its share — the r4 config3/config4 AOT
+# compile fault ("Scoped allocation with size 16.95M and limit 16.00M",
+# docs/compile_helper_faults.md). Table-sourced tilings above this product
+# fall back to the validated default; explicit block args still win so the
+# sweep itself can measure anything.
+_DIFF_KERNEL_MAX_BLOCK_PRODUCT = 512 * 1024
+_DIFF_KERNELS = ("jvp", "bwd")
+
+
 def _blocks(kind: str, sq: int, sk: int, d: int,
             block_q: Optional[int] = None,
             block_k: Optional[int] = None) -> tuple:
@@ -102,6 +116,9 @@ def _blocks(kind: str, sq: int, sk: int, d: int,
         block_q, block_k = _tuned_table().get(
             f"{kind}:{sq}x{sk}:d{d}", (_DEFAULT_BLOCK, _DEFAULT_BLOCK))
         if sq % min(block_q, sq) or sk % min(block_k, sk):
+            block_q = block_k = _DEFAULT_BLOCK
+        if (kind in _DIFF_KERNELS
+                and block_q * block_k > _DIFF_KERNEL_MAX_BLOCK_PRODUCT):
             block_q = block_k = _DEFAULT_BLOCK
     else:
         block_q = _DEFAULT_BLOCK if block_q is None else block_q
