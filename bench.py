@@ -258,18 +258,49 @@ def bench_config2():
             )
         )
 
-    runners = [pull_for(tap) for tap in taps]
-    for r in runners:  # compile (one program per tap)
-        _sync(r(params, xs[0], t_vals[0], keys[0]))
-    t0 = time.perf_counter()
-    last = None
-    for r in runners:
-        for si in range(N_SAMPLES):
-            for ti in range(len(t_vals)):
-                last = r(params, xs[si], t_vals[ti],
-                         keys[si * len(t_vals) + ti])
-    _sync(last)
-    dispatch_sec = time.perf_counter() - t0
+    def time_dispatch(runners, p, xs_in):
+        for r in runners:  # compile (one program per tap)
+            _sync(r(p, xs_in[0], t_vals[0], keys[0]))
+        t0 = time.perf_counter()
+        last = None
+        for r in runners:
+            for si in range(N_SAMPLES):
+                for ti in range(len(t_vals)):
+                    last = r(p, xs_in[si], t_vals[ti],
+                             keys[si * len(t_vals) + ti])
+        _sync(last)
+        return time.perf_counter() - t0
+
+    dispatch_f32_sec = time_dispatch(
+        [pull_for(tap) for tap in taps], params, xs)
+
+    # Production dtype: --dtype auto resolves to bf16 on accelerators (the
+    # CLI default this sweep ships under; basis acceptance cos 0.9994
+    # on-chip). f32 is kept above for cross-round continuity.
+    import dataclasses as _dc
+    model_bf16 = UNet2D(_dc.replace(cfg, dtype="bfloat16"))
+    dispatch_bf16_sec = None
+    if jax.devices()[0].platform != "cpu":
+        def pull_bf16_for(tap):
+            return jax.jit(
+                lambda p, x1, t1, k1: local_pullback(
+                    lambda zz: model_bf16.apply(
+                        p, zz, t1, tap, method=UNet2D.encode),
+                    x1, k1, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS,
+                    atol=0.0,
+                )
+            )
+        try:
+            dispatch_bf16_sec = time_dispatch(
+                [pull_bf16_for(tap) for tap in taps], params, xs)
+        except Exception as e:
+            print(f"[bench] config2 bf16 dispatch: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr, flush=True)
+
+    if dispatch_bf16_sec is not None and dispatch_bf16_sec < dispatch_f32_sec:
+        dispatch_sec, dispatch_dtype = dispatch_bf16_sec, "bf16"
+    else:
+        dispatch_sec, dispatch_dtype = dispatch_f32_sec, "f32"
 
     # ---- fused path: one batched_local_pullback program per tap -----------
     B = N_SAMPLES * len(t_vals)
@@ -289,11 +320,13 @@ def bench_config2():
 
     # HBM ladder (docs/compile_helper_faults.md fault 2): the full B=16
     # fused program at 256px needs 19.5 G of linearize residuals and OOMs a
-    # 16 G chip, so try it with remat (residuals traded for ~1.3x encoder
-    # FLOPs), then B=8 sub-batches (2 dispatches/tap), then B=8 + remat.
+    # 16 G chip, so fall back to B=8 sub-batches (2 dispatches/tap, ~9.75 G —
+    # fits), then remat variants LAST: measured r4, B16+remat runs 20.9 s vs
+    # 6.0 s dispatch — recomputing the encoder inside every transpose pass
+    # costs far more than the sub-batch dispatch it saves.
     fused_sec = fused_variant = None
-    for nb, chunk, remat in ((16, 2, False), (16, 2, True),
-                             (8, 2, False), (8, 2, True)):
+    for nb, chunk, remat in ((16, 2, False), (8, 4, False), (8, 2, False),
+                             (16, 2, True), (8, 2, True)):
         xparts = [xs_flat[i:i + nb] for i in range(0, B, nb)]
         tparts = [ts_flat[i:i + nb] for i in range(0, B, nb)]
         try:
@@ -313,7 +346,16 @@ def bench_config2():
                   f"{type(e).__name__}: {str(e)[:300]}",
                   file=sys.stderr, flush=True)
 
-    sec = fused_sec if fused_sec is not None else dispatch_sec
+    # Headline = the best path that ran. A fused rung that compiles can
+    # still lose to per-basis dispatch (B16+remat measured 3.5x slower),
+    # so the sweep implementation is a choice, not a foregone conclusion.
+    if fused_sec is not None and fused_sec < dispatch_sec:
+        sec, impl = fused_sec, f"fused_batched_{fused_variant}"
+    else:
+        sec = dispatch_sec
+        impl = ("dispatch_per_basis (fused slower: "
+                f"{fused_variant} {fused_sec:.1f}s)" if fused_sec is not None
+                else "dispatch_per_basis (fused failed)")
     n_bases = len(taps) * N_SAMPLES * len(t_vals)
 
     # MFU: sum the per-tap pullback FLOPs (each tap truncates the encoder at
@@ -342,12 +384,15 @@ def bench_config2():
         "taps": "down2/mid0/up1",
         "dispatch_per_basis_sec": round(dispatch_sec, 4),
         "dispatch_per_basis_ms": round(1000 * dispatch_sec / n_bases, 1),
+        "dispatch_dtype": dispatch_dtype,
+        "dispatch_f32_sec": round(dispatch_f32_sec, 4),
     }
+    if dispatch_bf16_sec is not None:
+        out["dispatch_bf16_sec"] = round(dispatch_bf16_sec, 4)
+    out["impl"] = impl
     if fused_sec is not None:
-        out["impl"] = f"fused_batched_{fused_variant}"
-        out["speedup_vs_dispatch"] = round(dispatch_sec / fused_sec, 3)
-    else:
-        out["impl"] = "dispatch_per_basis (fused failed)"
+        out["fused_sec"] = round(fused_sec, 4)
+        out["fused_speedup_vs_dispatch"] = round(dispatch_sec / fused_sec, 3)
     m = _mfu(flops, sec)
     if m:
         out.update(m)

@@ -99,8 +99,10 @@ def _tuned_table() -> dict:
 # QKV residuals, probe vmap) adds its share — the r4 config3/config4 AOT
 # compile fault ("Scoped allocation with size 16.95M and limit 16.00M",
 # docs/compile_helper_faults.md). Table-sourced tilings above this product
-# fall back to the validated default; explicit block args still win so the
-# sweep itself can measure anything.
+# are CLAMPED by halving block_q until they fit (1024x1024 -> 512x1024:
+# block_k stays wide, so the k-loop count — where the win mostly lives — is
+# preserved; q-halving only doubles the embarrassingly-parallel outer grid
+# axis). Explicit block args still win so the sweep can measure anything.
 _DIFF_KERNEL_MAX_BLOCK_PRODUCT = 512 * 1024
 _DIFF_KERNELS = ("jvp", "bwd")
 
@@ -117,9 +119,12 @@ def _blocks(kind: str, sq: int, sk: int, d: int,
             f"{kind}:{sq}x{sk}:d{d}", (_DEFAULT_BLOCK, _DEFAULT_BLOCK))
         if sq % min(block_q, sq) or sk % min(block_k, sk):
             block_q = block_k = _DEFAULT_BLOCK
-        if (kind in _DIFF_KERNELS
-                and block_q * block_k > _DIFF_KERNEL_MAX_BLOCK_PRODUCT):
-            block_q = block_k = _DEFAULT_BLOCK
+        if kind in _DIFF_KERNELS:
+            while (block_q * block_k > _DIFF_KERNEL_MAX_BLOCK_PRODUCT
+                   and block_q > _DEFAULT_BLOCK):
+                block_q //= 2
+            if block_q * block_k > _DIFF_KERNEL_MAX_BLOCK_PRODUCT:
+                block_q = block_k = _DEFAULT_BLOCK
     else:
         block_q = _DEFAULT_BLOCK if block_q is None else block_q
         block_k = _DEFAULT_BLOCK if block_k is None else block_k

@@ -145,12 +145,12 @@ class TestTunedBlockTable:
 
     def test_diff_kernel_vmem_cap(self, monkeypatch):
         """Table-sourced jvp/bwd tilings above the composed-program-validated
-        block product fall back to the default: a 1024x1024 standalone-sweep
-        winner overflows the 16 MB scoped-VMEM stack once the surrounding
-        program (fused QKV, probe vmap) adds its share — the r4 AOT compile
-        fault (docs/compile_helper_faults.md). fwd keeps its winner (its
-        stack holds ~half the live intermediates) and explicit args still
-        win so the sweep can measure anything."""
+        block product are clamped by halving block_q (block_k stays wide): a
+        1024x1024 standalone-sweep winner overflows the 16 MB scoped-VMEM
+        stack once the surrounding program (fused QKV, probe vmap) adds its
+        share — the r4 AOT compile fault (docs/compile_helper_faults.md).
+        fwd keeps its winner (its stack holds ~half the live intermediates)
+        and explicit args still win so the sweep can measure anything."""
         from diffusion_pullback_tpu.ops.pallas import flash_attention as fa
 
         monkeypatch.setattr(fa, "_TUNED", {
@@ -158,11 +158,15 @@ class TestTunedBlockTable:
             "bwd:4096x4096:d64": (1024, 1024),
             "fwd:4096x4096:d64": (1024, 1024),
             "bwd:1024x1024:d64": (256, 1024),
+            "jvp:4096x4096:d128": (512, 2048),
         })
         dflt = (fa._DEFAULT_BLOCK, fa._DEFAULT_BLOCK)
-        assert fa._blocks("jvp", 4096, 4096, 64) == dflt
-        assert fa._blocks("bwd", 4096, 4096, 64) == dflt
+        # 1024x1024 over-cap -> block_q halves once, block_k stays wide
+        assert fa._blocks("jvp", 4096, 4096, 64) == (512, 1024)
+        assert fa._blocks("bwd", 4096, 4096, 64) == (512, 1024)
         assert fa._blocks("fwd", 4096, 4096, 64) == (1024, 1024)
+        # block_k alone exceeds the cap at the minimum block_q -> default
+        assert fa._blocks("jvp", 4096, 4096, 128) == dflt
         # at or below the validated product the winner survives
         assert fa._blocks("bwd", 1024, 1024, 64) == (256, 1024)
         # explicit arguments bypass the cap (the sweep uses them)
