@@ -179,7 +179,55 @@ def bench_config1():
     _sync(edit_jit(params, x, vk))
     edit_sec = time.perf_counter() - t0
 
-    e2e = pull_sec + edit_sec
+    # --- 3b. the same pipeline at the production dtype (--dtype auto = bf16
+    # on accelerators; basis acceptance min cos 0.9994 on-chip). Headline is
+    # the faster of f32/bf16 so cross-round continuity survives either way.
+    pull_bf16_sec = edit_bf16_sec = None
+    if dev.platform != "cpu":
+        try:
+            pull16 = jax.jit(
+                lambda p, z, k: local_pullback(
+                    lambda zz: model_bf16.apply(
+                        p, zz, t_edit, tap, method=UNet2D.encode),
+                    z, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS,
+                    atol=0.0,
+                )
+            )
+            _sync(pull16(params, x, jax.random.key(2)))
+            t0 = time.perf_counter()
+            res16 = pull16(params, x, jax.random.key(2))
+            _sync(res16)
+            pull_bf16_sec = time.perf_counter() - t0
+
+            vk16 = res16.vT[0].reshape(1, 256, 256, 3).astype(jnp.float32)
+
+            def edit16(p, z, v):
+                eps_fn = eps_bf16(p)
+                traj = x_space_guidance_scan(
+                    eps_fn, z, grid20.timesteps[edit_t_idx], v,
+                    num_steps=16, edit_step=0.1, scale=0.1,
+                )
+                return ddim_forward(eps_fn, traj[-1], sched, grid20,
+                                    start_idx=edit_t_idx)
+
+            edit16_jit = jax.jit(edit16)
+            _sync(edit16_jit(params, x, vk16))
+            t0 = time.perf_counter()
+            _sync(edit16_jit(params, x, vk16))
+            edit_bf16_sec = time.perf_counter() - t0
+        except Exception as e:
+            print(f"[bench] config1 bf16 path: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr, flush=True)
+
+    if (pull_bf16_sec is not None and edit_bf16_sec is not None
+            and pull_bf16_sec + edit_bf16_sec < pull_sec + edit_sec):
+        e2e_dtype = "bf16"
+        e2e = pull_bf16_sec + edit_bf16_sec
+        head_pull_sec, head_edit_sec = pull_bf16_sec, edit_bf16_sec
+    else:
+        e2e_dtype = "f32"
+        e2e = pull_sec + edit_sec
+        head_pull_sec, head_edit_sec = pull_sec, edit_sec
 
     # MFU accounting (loop-free component programs × trip counts; see
     # utils/flops.py for why per-program cost analysis can't be used)
@@ -207,17 +255,24 @@ def bench_config1():
         "ddim_steps_per_sec_bf16": round(ddim_bf16_steps_per_sec, 2),
         "ddim_steps_per_sec_deepcache3": round(ddim_dc_steps_per_sec, 2),
         "jvp_evals_per_sec": round(jvp_evals_per_sec, 2),
-        "pullback_sec": round(pull_sec, 4),
-        "edit_sec": round(edit_sec, 4),
+        "pullback_sec": round(head_pull_sec, 4),
+        "edit_sec": round(head_edit_sec, 4),
+        "e2e_dtype": e2e_dtype,
+        "pullback_f32_sec": round(pull_sec, 4),
+        "edit_f32_sec": round(edit_sec, 4),
         "pca_rank": RANK,
         "power_iters": ITERS,
     }
-    pm = _mfu(pb_flops, pull_sec)
+    if pull_bf16_sec is not None:
+        out["pullback_bf16_sec"] = round(pull_bf16_sec, 4)
+    if edit_bf16_sec is not None:
+        out["edit_bf16_sec"] = round(edit_bf16_sec, 4)
+    pm = _mfu(pb_flops, head_pull_sec)
     if pm:
         out["pullback_perf"] = pm
     if eps_flops:
         out["ddim_perf"] = _mfu(eps_flops * (grid100.num_steps - 1), ddim_sec)
-    em = _mfu(edit_flops, edit_sec)
+    em = _mfu(edit_flops, head_edit_sec)
     if em:
         out["edit_perf"] = em
     return out
