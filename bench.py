@@ -454,20 +454,21 @@ def bench_config2():
     return out
 
 
-def _sd_setup(cfg_scale: float, attn: str = "flash"):
+def _sd_setup(cfg_scale: float, attn: str = "flash", dtype: str = "float32"):
     """Shared SD 2.1-base rig for configs 3/4: fused flash kernel pair on
     the differentiated encoder (measured 0.59 s xla → 0.38 s one v5e chip);
     attn="xla" swaps both halves to the XLA attention (the config-4 CFG
     shapes crash the remote compile helper under the flash pair — see
-    docs/compile_helper_faults.md)."""
+    docs/compile_helper_faults.md). dtype="bfloat16" measures the
+    production path (--dtype auto on accelerators); params stay f32."""
     import dataclasses
 
     from diffusion_pullback_tpu.models import UNet2DCondition, sd21_base_unet
     from diffusion_pullback_tpu.models.unet2d_condition import UNet2DCondition as U
 
     i_jvp, i_vjp = ("flash_jvp", "flash") if attn == "flash" else (attn, attn)
-    unet_jvp = UNet2DCondition(dataclasses.replace(cfg := sd21_base_unet(),
-                                                   attn_impl=i_jvp))
+    cfg = dataclasses.replace(sd21_base_unet(), dtype=dtype)
+    unet_jvp = UNet2DCondition(dataclasses.replace(cfg, attn_impl=i_jvp))
     unet_vjp = UNet2DCondition(dataclasses.replace(cfg, attn_impl=i_vjp))
     z = jax.random.normal(jax.random.key(0), (1, 64, 64, 4), jnp.float32)
     ctx = jax.random.normal(jax.random.key(1), (1, 77, 1024), jnp.float32)
@@ -500,8 +501,10 @@ def _sd_setup(cfg_scale: float, attn: str = "flash"):
     return params, z, ctx, e_jvp, e_vjp
 
 
-def _sd_pullback(cfg_scale: float, attn: str = "flash"):
-    params, z, ctx, e_jvp, e_vjp = _sd_setup(cfg_scale, attn=attn)
+def _sd_pullback(cfg_scale: float, attn: str = "flash",
+                 dtype: str = "float32"):
+    params, z, ctx, e_jvp, e_vjp = _sd_setup(cfg_scale, attn=attn,
+                                             dtype=dtype)
     RANK, ITERS = 8, 5
     pull = jax.jit(
         lambda p, zz, c, k: local_pullback(
@@ -521,10 +524,30 @@ def _sd_pullback(cfg_scale: float, attn: str = "flash"):
     return params, z, ctx, res, sec, RANK, ITERS, flops
 
 
+def _bf16_variant_sec(measure):
+    """Run a bf16 measurement callable on accelerators, None on CPU/error."""
+    if jax.devices()[0].platform == "cpu":
+        return None
+    try:
+        return measure()
+    except Exception as e:
+        print(f"[bench] bf16 variant: {type(e).__name__}: {str(e)[:200]}",
+              file=sys.stderr, flush=True)
+        return None
+
+
 def bench_config3():
     """BASELINE config 3: SD 2.1-base latent pullback w/o edit prompt —
-    mid-tap, r=8, 5 iterations, fused flash pair."""
-    _, _, _, _, sec, RANK, ITERS, flops = _sd_pullback(cfg_scale=0.0)
+    mid-tap, r=8, 5 iterations, fused flash pair. Measured at f32
+    (cross-round continuity) AND bf16 (the --dtype auto production path);
+    headline is the faster."""
+    _, _, _, _, f32_sec, RANK, ITERS, flops = _sd_pullback(cfg_scale=0.0)
+    bf16_sec = _bf16_variant_sec(
+        lambda: _sd_pullback(cfg_scale=0.0, dtype="bfloat16")[4])
+    if bf16_sec is not None and bf16_sec < f32_sec:
+        sec, dtype = bf16_sec, "bf16"
+    else:
+        sec, dtype = f32_sec, "f32"
     out = {
         "metric": "sd21_latent_pullback",
         "value": round(sec, 4),
@@ -534,7 +557,11 @@ def bench_config3():
         "pca_rank": RANK,
         "power_iters": ITERS,
         "attn": "flash_jvp/flash pair",
+        "dtype": dtype,
+        "f32_sec": round(f32_sec, 4),
     }
+    if bf16_sec is not None:
+        out["bf16_sec"] = round(bf16_sec, 4)
     out.update(_mfu(flops, sec))
     return out
 
@@ -548,14 +575,20 @@ def bench_config4():
     reduced kernel speed beats an error row."""
     attn_used = "flash_jvp/flash pair"
     try:
-        _, _, _, _, sec, RANK, ITERS, flops = _sd_pullback(cfg_scale=2.5)
+        _, _, _, _, f32_sec, RANK, ITERS, flops = _sd_pullback(cfg_scale=2.5)
     except Exception as e:
         print(f"[bench] config4 flash pair: {type(e).__name__}: "
               f"{str(e)[:200]} — falling back to xla attention",
               file=sys.stderr, flush=True)
-        _, _, _, _, sec, RANK, ITERS, flops = _sd_pullback(
+        _, _, _, _, f32_sec, RANK, ITERS, flops = _sd_pullback(
             cfg_scale=2.5, attn="xla")
         attn_used = "xla (flash pair failed to compile)"
+    bf16_sec = _bf16_variant_sec(
+        lambda: _sd_pullback(cfg_scale=2.5, dtype="bfloat16")[4])
+    if bf16_sec is not None and bf16_sec < f32_sec:
+        sec, dtype = bf16_sec, "bf16"
+    else:
+        sec, dtype = f32_sec, "f32"
     out = {
         "metric": "sd21_pullback_cfg_in_jvp",
         "value": round(sec, 4),
@@ -566,7 +599,11 @@ def bench_config4():
         "power_iters": ITERS,
         "guidance_scale": 2.5,
         "attn": attn_used,
+        "dtype": dtype,
+        "f32_sec": round(f32_sec, 4),
     }
+    if bf16_sec is not None:
+        out["bf16_sec"] = round(bf16_sec, 4)
     out.update(_mfu(flops, sec))
     return out
 
@@ -644,6 +681,8 @@ def bench_sd_pullback():
     discovery + 16-micro-step x-space guidance + 50-step DDIM finish on one
     SD 2.1 image — the '< 10 s on v5e-8' headline workload, measured here
     on one chip (VERDICT r3 item 1)."""
+    import dataclasses
+
     from diffusion_pullback_tpu.models import UNet2DCondition, sd21_base_unet
 
     params, z, ctx, res, sec, RANK, ITERS, pb_flops = _sd_pullback(
@@ -654,20 +693,40 @@ def bench_sd_pullback():
     grid50 = ddim_timestep_grid(50)
     edit_idx = 15  # ~0.7T
 
-    def edit(p, c, zz, v):
-        eps = lambda q, t: unet.apply(p, q, t, c)
-        traj = x_space_guidance_scan(
-            eps, zz, grid50.timesteps[edit_idx], v,
-            num_steps=16, edit_step=1.0, scale=1.0,
-        )
-        return ddim_forward(eps, traj[-1], sched, grid50, start_idx=edit_idx)
+    def time_edit(model, p, vk):
+        def edit(p, c, zz, v):
+            eps = lambda q, t: model.apply(p, q, t, c).astype(jnp.float32)
+            traj = x_space_guidance_scan(
+                eps, zz, grid50.timesteps[edit_idx], v,
+                num_steps=16, edit_step=1.0, scale=1.0,
+            )
+            return ddim_forward(eps, traj[-1], sched, grid50,
+                                start_idx=edit_idx)
 
-    vk = res.vT[0].reshape(1, 64, 64, 4)
-    edit_jit = jax.jit(edit)
-    _sync(edit_jit(params, ctx, z, vk))
-    t0 = time.perf_counter()
-    _sync(edit_jit(params, ctx, z, vk))
-    edit_sec = time.perf_counter() - t0
+        edit_jit = jax.jit(edit)
+        _sync(edit_jit(p, ctx, z, vk))
+        t0 = time.perf_counter()
+        _sync(edit_jit(p, ctx, z, vk))
+        return time.perf_counter() - t0
+
+    vk = res.vT[0].reshape(1, 64, 64, 4).astype(jnp.float32)
+    edit_sec = time_edit(unet, params, vk)
+
+    # production dtype (--dtype auto = bf16 on accelerators); headline is
+    # the faster pipeline, f32 numbers kept as fields
+    f32_sec, f32_edit_sec = sec, edit_sec
+    bf16_sec = _bf16_variant_sec(
+        lambda: _sd_pullback(cfg_scale=0.0, dtype="bfloat16")[4])
+    bf16_edit_sec = _bf16_variant_sec(
+        lambda: time_edit(
+            UNet2DCondition(dataclasses.replace(sd21_base_unet(),
+                                                dtype="bfloat16")),
+            params, vk))
+    if (bf16_sec is not None and bf16_edit_sec is not None
+            and bf16_sec + bf16_edit_sec < sec + edit_sec):
+        sec, edit_sec, e2e_dtype = bf16_sec, bf16_edit_sec, "bf16"
+    else:
+        e2e_dtype = "f32"
 
     e2e = sec + edit_sec
 
@@ -690,10 +749,17 @@ def bench_sd_pullback():
         "vs_baseline": round(NORTH_STAR_SECONDS / e2e, 3),
         "pullback_sec": round(sec, 4),
         "edit_sec": round(edit_sec, 4),
+        "e2e_dtype": e2e_dtype,
+        "pullback_f32_sec": round(f32_sec, 4),
+        "edit_f32_sec": round(f32_edit_sec, 4),
         "jvp_evals_per_sec": round((ITERS * 2 * RANK + RANK) / sec, 2),
         "pca_rank": RANK,
         "power_iters": ITERS,
     }
+    if bf16_sec is not None:
+        out["pullback_bf16_sec"] = round(bf16_sec, 4)
+    if bf16_edit_sec is not None:
+        out["edit_bf16_sec"] = round(bf16_edit_sec, 4)
     pm = _mfu(pb_flops, sec)
     if pm:
         out["pullback_perf"] = pm
