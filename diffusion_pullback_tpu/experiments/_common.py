@@ -40,7 +40,30 @@ class DriverCommonMixin:
 
         if not hasattr(self, "_aot_programs"):
             self._aot_programs = AOTProgramCache()
-        return self._aot_programs.wrap(name, fn)
+        return self._aot_programs.wrap(name, fn, self._cfg_fingerprint())
+
+    def _cfg_fingerprint(self) -> str:
+        """Digest of every primitive config field that could reach a traced
+        closure as a baked-in constant (guidance scales, step counts, eta,
+        dtypes, chunk sizes …). Excludes IO paths (never traced) and the
+        mesh object (mesh runs skip AOT export anyway). Keying exports on
+        this prevents a process launched with different flags from
+        replaying a stale export with the old constants (ADVICE r4)."""
+        # recomputed per call (cheap): run methods mutate cfg fields
+        # (e.g. edit_prompt), and a stale memo would miss that
+        import dataclasses
+        import hashlib
+
+        parts = []
+        for f in dataclasses.fields(self.cfg):
+            if f.name == "mesh" or any(
+                s in f.name for s in ("folder", "dir", "path")
+            ):
+                continue
+            v = getattr(self.cfg, f.name)
+            if isinstance(v, (int, float, bool, str, type(None), tuple, list)):
+                parts.append(f"{f.name}={v!r}")
+        return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
 
     def _cached(self, name, builder):
         if name not in self._jit_cache:

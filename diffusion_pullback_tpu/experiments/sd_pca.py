@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.unet2d import TapPoint
+from ..samplers.ddim_loop import ddim_forward
 
 
 class SDPCAMixin:

@@ -78,30 +78,35 @@ class AOTProgramCache:
         self.dir = directory or default_export_dir()
         self._loaded: dict = {}
 
-    def _path(self, name: str, args) -> str:
+    def _path(self, name: str, args, fingerprint: str = "") -> str:
         try:
             kind = jax.devices()[0].device_kind.replace(" ", "_")
         except Exception:
             kind = "unknown"
-        key = f"{name}-{_aval_key(args)}-{kind}-{_code_salt()}"
+        key = f"{name}-{_aval_key(args)}-{kind}-{_code_salt()}-{fingerprint}"
         safe = "".join(c if c.isalnum() or c in "._-" else "_" for c in key)
         return os.path.join(self.dir, safe + ".jaxexport")
 
-    def wrap(self, name: str, fn: Callable) -> Callable:
+    def wrap(self, name: str, fn: Callable, fingerprint: str = "") -> Callable:
+        """``fingerprint`` must digest every flag-derived value the traced
+        closure bakes in as a constant (guidance scales, step grids, eta,
+        dtype/precision) — without it a process launched with different
+        flags would deserialize a stale export and silently compute with
+        the old constants (ADVICE r4)."""
         jfn = jax.jit(fn)
 
         def call(*args):
-            cache_key = (name, _aval_key(args))
+            cache_key = (name, _aval_key(args), fingerprint)
             runner = self._loaded.get(cache_key)
             if runner is None:
-                runner = self._load_or_export(name, jfn, args)
+                runner = self._load_or_export(name, jfn, args, fingerprint)
                 self._loaded[cache_key] = runner
             return runner(*args)
 
         return call
 
-    def _load_or_export(self, name: str, jfn, args) -> Callable:
-        path = self._path(name, args)
+    def _load_or_export(self, name: str, jfn, args, fingerprint: str = "") -> Callable:
+        path = self._path(name, args, fingerprint)
         try:
             if os.path.exists(path):
                 with open(path, "rb") as f:

@@ -21,16 +21,19 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-# Goldens are DEFINED as CPU f32 (the platform the regression test runs on);
-# force cpu even when the shell exports JAX_PLATFORMS=axon/tpu.
-os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
-
-jax.config.update("jax_platforms", "cpu")
-
 import jax.numpy as jnp
 import numpy as np
+
+
+def _force_cpu():
+    """Goldens are DEFINED as CPU f32 (the platform the regression test runs
+    on); force cpu even when the shell exports JAX_PLATFORMS=axon/tpu. Called
+    from main() only — importing compute_config1_artifacts (as the regression
+    test does) must not mutate an already-initialized backend (ADVICE r4)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
 
 
 def compute_config1_artifacts():
@@ -78,6 +81,7 @@ def compute_config1_artifacts():
 
 
 def main():
+    _force_cpu()
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tests", "goldens")
     os.makedirs(out_dir, exist_ok=True)
