@@ -14,15 +14,23 @@ Default mode measures BASELINE.md's full benchmark matrix —
 deterministic random init (identical FLOPs/memory to the pretrained
 checkpoints, so timing is checkpoint-independent).
 
+Every default-matrix section measures ONE production path (--dtype auto:
+bf16 on accelerators, f32 on CPU); `--full` adds the other-dtype variants,
+the config-2 fused ladder and DeepCache rows, headlining the best-of.
 Every section additionally reports achieved TFLOP/s and MFU vs the chip's
 bf16 peak (utils/flops.py: loop-free component programs × trip counts —
 XLA cost analysis counts loop bodies once). Skip with DPB_BENCH_NO_MFU=1.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"config1".."config5_proxy", "sd_e2e", "sd_sampling", "mesh"}. The top-level
-value is the config-1 end-to-end seconds (continuity with BENCH_r01/r02);
-the reference publishes no numbers (BASELINE.md), so vs_baseline is
-measured against the north-star budget of 10 s end-to-end.
+Emits the CUMULATIVE JSON artifact as one line after every completed
+section (last line = the full matrix): {"metric", "value", "unit",
+"vs_baseline", "config1".."config5_proxy", "sd_e2e", "sd_sampling",
+"mesh"}. The top-level value is the config-1 end-to-end seconds
+(continuity with BENCH_r01/r02); the reference publishes no numbers
+(BASELINE.md), so vs_baseline is measured against the north-star budget of
+10 s end-to-end. Sections are admitted against a wall-clock budget
+(DPB_BENCH_DEADLINE, default 1500 s) using per-section cost estimates
+persisted in .jax_cache/bench_costs.json, so an external driver window is
+never overrun mid-section.
 
 Side modes (manual): --sd --sdxl --sdxl-proxy --mesh --bf16 run one section
 and print its dict alone.
@@ -56,9 +64,69 @@ from diffusion_pullback_tpu.samplers import ddim_forward, x_space_guidance_scan
 from diffusion_pullback_tpu.utils import flops as flops_util
 
 NORTH_STAR_SECONDS = 10.0
-# soft deadline for the full matrix: configs started after this many seconds
-# are recorded as skipped (first cold run on a new machine compiles SDXL)
-MATRIX_DEADLINE_SECONDS = float(os.environ.get("DPB_BENCH_DEADLINE", 1800))
+# Wall-clock budget for the full matrix. The external driver window has been
+# observed to kill the process shortly after ~1800 s (BENCH_r04: rc=124), so
+# the default leaves headroom under it; a section is admitted only if
+# `elapsed + estimated section cost` fits (estimates persisted per section in
+# .jax_cache/bench_costs.json from actual prior runs — VERDICT r4 item 1b).
+MATRIX_DEADLINE_SECONDS = float(os.environ.get("DPB_BENCH_DEADLINE", 1500))
+
+# Cold-cache cost ceilings (seconds), used only when a section has never run
+# on this machine: first-ever runs admit a prefix of the matrix and land it
+# incrementally rather than overrunning the window on SDXL compiles.
+_DEFAULT_COSTS = {
+    "config1": 350.0, "config2": 500.0, "config3": 350.0, "config4": 350.0,
+    "sd_e2e": 350.0, "config5_single_chip": 700.0, "config5_proxy": 150.0,
+    "sd_sampling": 800.0, "mesh": 120.0,
+}
+
+_COSTS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".jax_cache", "bench_costs.json")
+
+
+def _load_costs() -> dict:
+    try:
+        with open(_COSTS_PATH) as f:
+            d = json.load(f)
+        return {k: float(v) for k, v in d.items()
+                if isinstance(v, (int, float))}
+    except Exception:
+        return {}
+
+
+def _save_cost(name: str, sec: float) -> None:
+    """Persist the observed wall of a section (last run wins: a warm-cache
+    run correctly lowers the estimate for the driver's subsequent run on the
+    same machine/.jax_cache)."""
+    try:
+        costs = _load_costs()
+        costs[name] = round(sec, 1)
+        os.makedirs(os.path.dirname(_COSTS_PATH), exist_ok=True)
+        tmp = _COSTS_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(costs, f, indent=1, sort_keys=True)
+            f.write("\n")
+        os.replace(tmp, _COSTS_PATH)
+    except Exception as e:
+        print(f"[bench] cost persist failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+
+
+def _estimate_cost(name: str, costs: dict) -> float:
+    """Admission estimate: last observed wall × 1.25 margin, or the cold
+    default for a section never run on this machine (×2 for the '#full'
+    variant keys — they measure both dtypes plus ladders)."""
+    if name in costs:
+        return costs[name] * 1.25
+    base = _DEFAULT_COSTS.get(name.split("#")[0], 300.0)
+    return base * (2.0 if name.endswith("#full") else 1.0)
+
+
+def _prod_dtype() -> str:
+    """The --dtype auto resolution: bf16 compute on accelerators, f32 on CPU
+    (golden/parity bit-stability). The default matrix measures THIS path;
+    the f32/bf16 best-of variants moved behind --full (VERDICT r4 item 1c)."""
+    return "float32" if jax.devices()[0].platform == "cpu" else "bfloat16"
 
 
 def _sync(tree):
@@ -94,144 +162,130 @@ def _try_flops(fn, *args, **kwargs):
         return None
 
 
-def bench_config1():
+def bench_config1(full=False):
     """BASELINE config 1: CelebA-HQ-256 DDPM mid-block top-1 PC (r=8,
-    5 power iters) + 16-step x-space-guidance + 20-step DDIM edit; also
-    reports DDIM steps/sec (f32 / bf16 / DeepCache-3)."""
-    import dataclasses
+    5 power iters) + 16-step x-space-guidance + 20-step DDIM edit, measured
+    on the PRODUCTION path (--dtype auto: bf16 on accelerators, f32 on CPU).
+    ``full`` additionally measures the other dtype + DeepCache and headlines
+    the best-of (the r4 behavior, moved behind --full per VERDICT r4 1c)."""
 
     dev = jax.devices()[0]
-    cfg = ddpm_celebahq_256()
-    model = UNet2D(cfg)
     sched = DiffusionSchedule.linear()
-
     x = jax.random.normal(jax.random.key(1), (1, 256, 256, 3), jnp.float32)
     t_edit = jnp.float32(699.3)  # 0.7T grid point
-    params = jax.jit(lambda k: model.init(k, x, t_edit))(jax.random.key(0))
-
-    # params always enter through jit arguments (closed-over weights would
-    # be baked into the HLO as literals — oversized programs, no donation)
-    eps_of = lambda p: (lambda z, t: model.apply(p, z, t))
+    cfg_f32 = ddpm_celebahq_256()
+    params = jax.jit(lambda k: UNet2D(cfg_f32).init(k, x, t_edit))(
+        jax.random.key(0))
     tap = TapPoint("mid", 0)
-
-    # --- 1. DDIM steps/sec (100-step forward scan, batch 1) ----------------
-    grid100 = ddim_timestep_grid(100)
-    fwd = jax.jit(lambda p, z: ddim_forward(eps_of(p), z, sched, grid100))
-    _sync(fwd(params, x))  # compile
-    t0 = time.perf_counter()
-    _sync(fwd(params, x))
-    ddim_sec = time.perf_counter() - t0
-    ddim_steps_per_sec = grid100.num_steps / ddim_sec
-
-    # --- 1b. DDIM steps/sec with the bf16 sampling path --------------------
-    cfg_bf16 = dataclasses.replace(cfg, dtype="bfloat16")
-    model_bf16 = UNet2D(cfg_bf16)
-    eps_bf16 = lambda p: (lambda z, t: model_bf16.apply(p, z, t).astype(jnp.float32))
-    fwd16 = jax.jit(lambda p, z: ddim_forward(eps_bf16(p), z, sched, grid100))
-    _sync(fwd16(params, x))
-    t0 = time.perf_counter()
-    _sync(fwd16(params, x))
-    ddim_bf16_steps_per_sec = grid100.num_steps / (time.perf_counter() - t0)
-
-    # --- 1c. DDIM steps/sec with DeepCache encoder reuse (interval 3) ------
-    from diffusion_pullback_tpu.samplers.deepcache import ddim_forward_deepcache
-
-    fwd_dc = jax.jit(lambda p, z: ddim_forward_deepcache(
-        model, p, z, sched, grid100, interval=3))
-    _sync(fwd_dc(params, x))
-    t0 = time.perf_counter()
-    _sync(fwd_dc(params, x))
-    ddim_dc_steps_per_sec = grid100.num_steps / (time.perf_counter() - t0)
-
-    # --- 2. pullback: top-1 PC via 5 power iterations (r=8 probes) ---------
     RANK, ITERS = 8, 5
-    pull = jax.jit(
-        lambda p, z, k: local_pullback(
-            lambda zz: model.apply(p, zz, t_edit, tap, method=UNet2D.encode),
-            z, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS, atol=0.0,
-        )
-    )
-    _sync(pull(params, x, jax.random.key(2)))  # compile
-    t0 = time.perf_counter()
-    res = pull(params, x, jax.random.key(2))
-    _sync(res)
-    pull_sec = time.perf_counter() - t0
-    # each iteration runs RANK jvp + RANK vjp probe passes, plus RANK final jvps
-    jvp_evals_per_sec = (ITERS * 2 * RANK + RANK) / pull_sec
-
-    # --- 3. x-space-guidance edit (16 micro-steps) + 20-step finish --------
-    vk = res.vT[0].reshape(1, 256, 256, 3)
+    grid100 = ddim_timestep_grid(100)
     grid20 = ddim_timestep_grid(20)
     edit_t_idx = 6  # ~0.7T on the 20-grid
 
-    def edit(p, z, v):
-        eps_fn = eps_of(p)
-        traj = x_space_guidance_scan(
-            eps_fn, z, grid20.timesteps[edit_t_idx], v,
-            num_steps=16, edit_step=0.1, scale=0.1,
-        )
-        z_edit = traj[-1]
-        return ddim_forward(eps_fn, z_edit, sched, grid20, start_idx=edit_t_idx)
+    def measure(dtype):
+        """(ddim_sps, pull_sec, edit_sec) for one dtype. params always enter
+        through jit arguments (closed-over weights would be baked into the
+        HLO as literals — oversized programs, no donation); ε outputs are
+        promoted to f32 so the DDIM carry math stays f32 either way."""
+        import dataclasses
 
-    edit_jit = jax.jit(edit)
-    _sync(edit_jit(params, x, vk))  # compile
-    t0 = time.perf_counter()
-    _sync(edit_jit(params, x, vk))
-    edit_sec = time.perf_counter() - t0
+        model = UNet2D(dataclasses.replace(cfg_f32, dtype=dtype))
+        eps_of = lambda p: (
+            lambda z, t: model.apply(p, z, t).astype(jnp.float32))
 
-    # --- 3b. the same pipeline at the production dtype (--dtype auto = bf16
-    # on accelerators; basis acceptance min cos 0.9994 on-chip). Headline is
-    # the faster of f32/bf16 so cross-round continuity survives either way.
-    pull_bf16_sec = edit_bf16_sec = None
-    if dev.platform != "cpu":
-        try:
-            pull16 = jax.jit(
-                lambda p, z, k: local_pullback(
-                    lambda zz: model_bf16.apply(
-                        p, zz, t_edit, tap, method=UNet2D.encode),
-                    z, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS,
-                    atol=0.0,
-                )
+        fwd = jax.jit(lambda p, z: ddim_forward(eps_of(p), z, sched, grid100))
+        _sync(fwd(params, x))  # compile
+        t0 = time.perf_counter()
+        _sync(fwd(params, x))
+        ddim_sec = time.perf_counter() - t0
+
+        pull = jax.jit(
+            lambda p, z, k: local_pullback(
+                lambda zz: model.apply(p, zz, t_edit, tap,
+                                       method=UNet2D.encode),
+                z, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS, atol=0.0,
             )
-            _sync(pull16(params, x, jax.random.key(2)))
-            t0 = time.perf_counter()
-            res16 = pull16(params, x, jax.random.key(2))
-            _sync(res16)
-            pull_bf16_sec = time.perf_counter() - t0
+        )
+        _sync(pull(params, x, jax.random.key(2)))  # compile
+        t0 = time.perf_counter()
+        res = pull(params, x, jax.random.key(2))
+        _sync(res)
+        pull_sec = time.perf_counter() - t0
 
-            vk16 = res16.vT[0].reshape(1, 256, 256, 3).astype(jnp.float32)
+        vk = res.vT[0].reshape(1, 256, 256, 3).astype(jnp.float32)
 
-            def edit16(p, z, v):
-                eps_fn = eps_bf16(p)
-                traj = x_space_guidance_scan(
-                    eps_fn, z, grid20.timesteps[edit_t_idx], v,
-                    num_steps=16, edit_step=0.1, scale=0.1,
-                )
-                return ddim_forward(eps_fn, traj[-1], sched, grid20,
-                                    start_idx=edit_t_idx)
+        def edit(p, z, v):
+            eps_fn = eps_of(p)
+            traj = x_space_guidance_scan(
+                eps_fn, z, grid20.timesteps[edit_t_idx], v,
+                num_steps=16, edit_step=0.1, scale=0.1,
+            )
+            return ddim_forward(eps_fn, traj[-1], sched, grid20,
+                                start_idx=edit_t_idx)
 
-            edit16_jit = jax.jit(edit16)
-            _sync(edit16_jit(params, x, vk16))
-            t0 = time.perf_counter()
-            _sync(edit16_jit(params, x, vk16))
-            edit_bf16_sec = time.perf_counter() - t0
+        edit_jit = jax.jit(edit)
+        _sync(edit_jit(params, x, vk))  # compile
+        t0 = time.perf_counter()
+        _sync(edit_jit(params, x, vk))
+        return ddim_sec, pull_sec, time.perf_counter() - t0
+
+    prod = _prod_dtype()
+    ddim_sec, pull_sec, edit_sec = measure(prod)
+    e2e = pull_sec + edit_sec
+    e2e_dtype = {"bfloat16": "bf16", "float32": "f32"}[prod]
+
+    out = {
+        "metric": "celebahq256_top1pc_pullback_plus_20step_edit",
+        "unit": "s",
+        "device": str(dev),
+        "ddim_steps_per_sec": round(grid100.num_steps / ddim_sec, 2),
+        "jvp_evals_per_sec": round((ITERS * 2 * RANK + RANK) / pull_sec, 2),
+        "pca_rank": RANK,
+        "power_iters": ITERS,
+    }
+
+    if full:
+        other = "float32" if prod == "bfloat16" else "bfloat16"
+        try:
+            o_ddim, o_pull, o_edit = measure(other)
+            tag = {"bfloat16": "bf16", "float32": "f32"}[other]
+            out[f"pullback_{tag}_sec"] = round(o_pull, 4)
+            out[f"edit_{tag}_sec"] = round(o_edit, 4)
+            out[f"ddim_steps_per_sec_{tag}"] = round(
+                grid100.num_steps / o_ddim, 2)
+            if o_pull + o_edit < e2e:  # best-of headline under --full
+                e2e, pull_sec, edit_sec, e2e_dtype = (
+                    o_pull + o_edit, o_pull, o_edit, tag)
         except Exception as e:
-            print(f"[bench] config1 bf16 path: {type(e).__name__}: "
+            print(f"[bench] config1 {other} path: {type(e).__name__}: "
                   f"{str(e)[:200]}", file=sys.stderr, flush=True)
+        from diffusion_pullback_tpu.samplers.deepcache import (
+            ddim_forward_deepcache,
+        )
 
-    if (pull_bf16_sec is not None and edit_bf16_sec is not None
-            and pull_bf16_sec + edit_bf16_sec < pull_sec + edit_sec):
-        e2e_dtype = "bf16"
-        e2e = pull_bf16_sec + edit_bf16_sec
-        head_pull_sec, head_edit_sec = pull_bf16_sec, edit_bf16_sec
-    else:
-        e2e_dtype = "f32"
-        e2e = pull_sec + edit_sec
-        head_pull_sec, head_edit_sec = pull_sec, edit_sec
+        model_f32 = UNet2D(cfg_f32)
+        fwd_dc = jax.jit(lambda p, z: ddim_forward_deepcache(
+            model_f32, p, z, sched, grid100, interval=3))
+        _sync(fwd_dc(params, x))
+        t0 = time.perf_counter()
+        _sync(fwd_dc(params, x))
+        out["ddim_steps_per_sec_deepcache3"] = round(
+            grid100.num_steps / (time.perf_counter() - t0), 2)
+
+    out.update({
+        "value": round(e2e, 4),
+        "vs_baseline": round(NORTH_STAR_SECONDS / e2e, 3),
+        "pullback_sec": round(pull_sec, 4),
+        "edit_sec": round(edit_sec, 4),
+        "e2e_dtype": e2e_dtype,
+    })
 
     # MFU accounting (loop-free component programs × trip counts; see
-    # utils/flops.py for why per-program cost analysis can't be used)
-    enc_fn = lambda p, zz: model.apply(p, zz, t_edit, tap, method=UNet2D.encode)
+    # utils/flops.py for why per-program cost analysis can't be used).
+    # Cost analysis counts MACs identically across dtypes — f32 closures OK.
+    model = UNet2D(cfg_f32)
+    enc_fn = lambda p, zz: model.apply(p, zz, t_edit, tap,
+                                       method=UNet2D.encode)
     pb_flops = _try_flops(
         flops_util.pullback_flops, enc_fn, params, x, RANK, ITERS)
     eps_flops = _try_flops(
@@ -244,67 +298,42 @@ def bench_config1():
     edit_flops = (16 * eps2_flops
                   + (grid20.num_steps - 1 - edit_t_idx) * eps_flops
                   if eps_flops and eps2_flops else None)
-
-    out = {
-        "metric": "celebahq256_top1pc_pullback_plus_20step_edit",
-        "value": round(e2e, 4),
-        "unit": "s",
-        "vs_baseline": round(NORTH_STAR_SECONDS / e2e, 3),
-        "device": str(dev),
-        "ddim_steps_per_sec": round(ddim_steps_per_sec, 2),
-        "ddim_steps_per_sec_bf16": round(ddim_bf16_steps_per_sec, 2),
-        "ddim_steps_per_sec_deepcache3": round(ddim_dc_steps_per_sec, 2),
-        "jvp_evals_per_sec": round(jvp_evals_per_sec, 2),
-        "pullback_sec": round(head_pull_sec, 4),
-        "edit_sec": round(head_edit_sec, 4),
-        "e2e_dtype": e2e_dtype,
-        "pullback_f32_sec": round(pull_sec, 4),
-        "edit_f32_sec": round(edit_sec, 4),
-        "pca_rank": RANK,
-        "power_iters": ITERS,
-    }
-    if pull_bf16_sec is not None:
-        out["pullback_bf16_sec"] = round(pull_bf16_sec, 4)
-    if edit_bf16_sec is not None:
-        out["edit_bf16_sec"] = round(edit_bf16_sec, 4)
-    pm = _mfu(pb_flops, head_pull_sec)
+    pm = _mfu(pb_flops, pull_sec)
     if pm:
         out["pullback_perf"] = pm
     if eps_flops:
         out["ddim_perf"] = _mfu(eps_flops * (grid100.num_steps - 1), ddim_sec)
-    em = _mfu(edit_flops, head_edit_sec)
+    em = _mfu(edit_flops, edit_sec)
     if em:
         out["edit_perf"] = em
     return out
 
 
-def bench_config2():
+def bench_config2(full=False):
     """BASELINE config 2: CelebA-HQ batch-8 basis sweep — 8 samples ×
     {0.7T, 1.0T} × {down/mid/up taps} = 48 bases, top-3 PCs (r=8 probes,
-    5 iters). Headline: the FUSED path — `batched_local_pullback` runs the
-    16 (sample, t) bases of a tap as one program (per-sample timesteps ride
-    the embedding batch axis; Jacobians are block-diagonal), sub-batched to
-    fit HBM per the ladder below (the full B=16 program needs 19.5 G of
-    linearize residuals — docs/compile_helper_faults.md fault 2). The r3
-    48-dispatch per-basis loop is kept under dispatch_per_basis_* for
-    continuity."""
-    from diffusion_pullback_tpu.geometry import batched_local_pullback
+    5 iters). Default measures the PRODUCTION path: per-basis dispatch at
+    --dtype auto (48 async dispatches pipeline on one chip and beat the
+    fused program — measured r4: 4.74 s vs 12.6 s fused-B8). ``full`` adds
+    the other dtype and the fused `batched_local_pullback` HBM ladder
+    (the single-chip-losing multi-chip shape; its sharded win/loss is
+    recorded by the dryrun fused-vs-dispatch leg, not here)."""
+    import dataclasses as _dc
 
     cfg = ddpm_celebahq_256()
-    model = UNet2D(cfg)
     RANK, ITERS = 8, 5
     N_SAMPLES = 8
     t_vals = jnp.asarray([699.3, 999.0], jnp.float32)   # 0.7T, 1.0T
 
     xs = jax.random.normal(jax.random.key(1),
                            (N_SAMPLES, 1, 256, 256, 3), jnp.float32)
-    params = jax.jit(lambda k: model.init(k, xs[0], t_vals[0]))(
+    params = jax.jit(lambda k: UNet2D(cfg).init(k, xs[0], t_vals[0]))(
         jax.random.key(0))
 
     taps = [TapPoint("down", 2), TapPoint("mid", 0), TapPoint("up", 1)]
     keys = jax.random.split(jax.random.key(2), N_SAMPLES * len(t_vals))
 
-    def pull_for(tap):
+    def pull_for(model, tap):
         return jax.jit(
             lambda p, x1, t1, k1: local_pullback(
                 lambda zz: model.apply(p, zz, t1, tap, method=UNet2D.encode),
@@ -326,95 +355,106 @@ def bench_config2():
         _sync(last)
         return time.perf_counter() - t0
 
-    dispatch_f32_sec = time_dispatch(
-        [pull_for(tap) for tap in taps], params, xs)
+    prod = _prod_dtype()
+    model_prod = UNet2D(_dc.replace(cfg, dtype=prod))
+    dispatch_sec = time_dispatch(
+        [pull_for(model_prod, tap) for tap in taps], params, xs)
+    dispatch_dtype = {"bfloat16": "bf16", "float32": "f32"}[prod]
+    sec, impl = dispatch_sec, f"dispatch_per_basis_{dispatch_dtype}"
+    n_bases = len(taps) * N_SAMPLES * len(t_vals)
 
-    # Production dtype: --dtype auto resolves to bf16 on accelerators (the
-    # CLI default this sweep ships under; basis acceptance cos 0.9994
-    # on-chip). f32 is kept above for cross-round continuity.
-    import dataclasses as _dc
-    model_bf16 = UNet2D(_dc.replace(cfg, dtype="bfloat16"))
-    dispatch_bf16_sec = None
-    if jax.devices()[0].platform != "cpu":
-        def pull_bf16_for(tap):
-            return jax.jit(
-                lambda p, x1, t1, k1: local_pullback(
-                    lambda zz: model_bf16.apply(
-                        p, zz, t1, tap, method=UNet2D.encode),
-                    x1, k1, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS,
-                    atol=0.0,
-                )
-            )
+    out = {
+        "metric": "celebahq256_batch8_sweep_48_bases",
+        "unit": "s",
+        "n_bases": n_bases,
+        "pca_rank": RANK,
+        "power_iters": ITERS,
+        "taps": "down2/mid0/up1",
+        "dispatch_per_basis_sec": round(dispatch_sec, 4),
+        "dispatch_per_basis_ms": round(1000 * dispatch_sec / n_bases, 1),
+        "dispatch_dtype": dispatch_dtype,
+    }
+
+    if full:
+        other = "float32" if prod == "bfloat16" else "bfloat16"
         try:
-            dispatch_bf16_sec = time_dispatch(
-                [pull_bf16_for(tap) for tap in taps], params, xs)
+            other_sec = time_dispatch(
+                [pull_for(UNet2D(_dc.replace(cfg, dtype=other)), tap)
+                 for tap in taps], params, xs)
+            tag = {"bfloat16": "bf16", "float32": "f32"}[other]
+            out[f"dispatch_{tag}_sec"] = round(other_sec, 4)
+            if other_sec < sec:
+                sec, impl = other_sec, f"dispatch_per_basis_{tag}"
         except Exception as e:
-            print(f"[bench] config2 bf16 dispatch: {type(e).__name__}: "
+            print(f"[bench] config2 {other} dispatch: {type(e).__name__}: "
                   f"{str(e)[:200]}", file=sys.stderr, flush=True)
 
-    if dispatch_bf16_sec is not None and dispatch_bf16_sec < dispatch_f32_sec:
-        dispatch_sec, dispatch_dtype = dispatch_bf16_sec, "bf16"
-    else:
-        dispatch_sec, dispatch_dtype = dispatch_f32_sec, "f32"
+        # ---- fused path: one batched_local_pullback program per tap -------
+        # HBM ladder (docs/compile_helper_faults.md fault 2): the full B=16
+        # fused program at 256px needs 19.5 G of linearize residuals and
+        # OOMs a 16 G chip, so fall back to B=8 sub-batches, then remat
+        # variants LAST (B16+remat measured 20.9 s vs 6.0 s dispatch).
+        from diffusion_pullback_tpu.geometry import batched_local_pullback
 
-    # ---- fused path: one batched_local_pullback program per tap -----------
-    B = N_SAMPLES * len(t_vals)
-    xs_flat = jnp.reshape(
-        jnp.broadcast_to(xs[:, 0][:, None], (N_SAMPLES, len(t_vals), 256, 256, 3)),
-        (B, 256, 256, 3))
-    ts_flat = jnp.tile(t_vals, N_SAMPLES)
+        model = UNet2D(cfg)
+        B = N_SAMPLES * len(t_vals)
+        xs_flat = jnp.reshape(
+            jnp.broadcast_to(xs[:, 0][:, None],
+                             (N_SAMPLES, len(t_vals), 256, 256, 3)),
+            (B, 256, 256, 3))
+        ts_flat = jnp.tile(t_vals, N_SAMPLES)
 
-    def fused_for(tap, chunk, remat):
-        return jax.jit(
-            lambda p, xb, tb, k: batched_local_pullback(
-                lambda zz: model.apply(p, zz, tb, tap, method=UNet2D.encode),
-                xb, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS,
-                atol=0.0, chunk_size=chunk, remat=remat,
+        def fused_for(tap, chunk, remat):
+            return jax.jit(
+                lambda p, xb, tb, k: batched_local_pullback(
+                    lambda zz: model.apply(p, zz, tb, tap,
+                                           method=UNet2D.encode),
+                    xb, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS,
+                    atol=0.0, chunk_size=chunk, remat=remat,
+                )
             )
-        )
 
-    # HBM ladder (docs/compile_helper_faults.md fault 2): the full B=16
-    # fused program at 256px needs 19.5 G of linearize residuals and OOMs a
-    # 16 G chip, so fall back to B=8 sub-batches (2 dispatches/tap, ~9.75 G —
-    # fits), then remat variants LAST: measured r4, B16+remat runs 20.9 s vs
-    # 6.0 s dispatch — recomputing the encoder inside every transpose pass
-    # costs far more than the sub-batch dispatch it saves.
-    fused_sec = fused_variant = None
-    for nb, chunk, remat in ((16, 2, False), (8, 4, False), (8, 2, False),
-                             (16, 2, True), (8, 2, True)):
-        xparts = [xs_flat[i:i + nb] for i in range(0, B, nb)]
-        tparts = [ts_flat[i:i + nb] for i in range(0, B, nb)]
-        try:
-            fused = [fused_for(tap, chunk, remat) for tap in taps]
-            for f in fused:  # compile (one program per tap)
-                _sync(f(params, xparts[0], tparts[0], keys[0]))
-            t0 = time.perf_counter()
-            for f in fused:
-                for xp, tp in zip(xparts, tparts):
-                    last = f(params, xp, tp, keys[0])
-            _sync(last)
-            fused_sec = time.perf_counter() - t0
-            fused_variant = f"B{nb}_chunk{chunk}" + ("_remat" if remat else "")
-            break
-        except Exception as e:
-            print(f"[bench] config2 fused B={nb} chunk={chunk} remat={remat}: "
-                  f"{type(e).__name__}: {str(e)[:300]}",
-                  file=sys.stderr, flush=True)
+        fused_sec = fused_variant = None
+        for nb, chunk, remat in ((16, 2, False), (8, 4, False), (8, 2, False),
+                                 (16, 2, True), (8, 2, True)):
+            xparts = [xs_flat[i:i + nb] for i in range(0, B, nb)]
+            tparts = [ts_flat[i:i + nb] for i in range(0, B, nb)]
+            try:
+                fused = [fused_for(tap, chunk, remat) for tap in taps]
+                for f in fused:  # compile (one program per tap)
+                    _sync(f(params, xparts[0], tparts[0], keys[0]))
+                t0 = time.perf_counter()
+                for f in fused:
+                    for xp, tp in zip(xparts, tparts):
+                        last = f(params, xp, tp, keys[0])
+                _sync(last)
+                fused_sec = time.perf_counter() - t0
+                fused_variant = (f"B{nb}_chunk{chunk}"
+                                 + ("_remat" if remat else ""))
+                break
+            except Exception as e:
+                print(f"[bench] config2 fused B={nb} chunk={chunk} "
+                      f"remat={remat}: {type(e).__name__}: {str(e)[:300]}",
+                      file=sys.stderr, flush=True)
 
-    # Headline = the best path that ran. A fused rung that compiles can
-    # still lose to per-basis dispatch (B16+remat measured 3.5x slower),
-    # so the sweep implementation is a choice, not a foregone conclusion.
-    if fused_sec is not None and fused_sec < dispatch_sec:
-        sec, impl = fused_sec, f"fused_batched_{fused_variant}"
-    else:
-        sec = dispatch_sec
-        impl = ("dispatch_per_basis (fused slower: "
-                f"{fused_variant} {fused_sec:.1f}s)" if fused_sec is not None
-                else "dispatch_per_basis (fused failed)")
-    n_bases = len(taps) * N_SAMPLES * len(t_vals)
+        if fused_sec is not None:
+            out["fused_sec"] = round(fused_sec, 4)
+            out["fused_variant"] = fused_variant
+            out["fused_speedup_vs_dispatch"] = round(
+                dispatch_sec / fused_sec, 3)
+            if fused_sec < sec:
+                sec, impl = fused_sec, f"fused_batched_{fused_variant}"
+
+    out.update({
+        "value": round(sec, 4),
+        "vs_baseline": round(NORTH_STAR_SECONDS / sec, 3),
+        "per_basis_ms": round(1000 * sec / n_bases, 1),
+        "impl": impl,
+    })
 
     # MFU: sum the per-tap pullback FLOPs (each tap truncates the encoder at
     # a different depth), × samples × t-grid
+    model = UNet2D(cfg)
     flops = 0.0
     for tap in taps:
         f = _try_flops(
@@ -426,28 +466,6 @@ def bench_config2():
             flops = None
             break
         flops += f * N_SAMPLES * len(t_vals)
-
-    out = {
-        "metric": "celebahq256_batch8_sweep_48_bases",
-        "value": round(sec, 4),
-        "unit": "s",
-        "vs_baseline": round(NORTH_STAR_SECONDS / sec, 3),
-        "n_bases": n_bases,
-        "per_basis_ms": round(1000 * sec / n_bases, 1),
-        "pca_rank": RANK,
-        "power_iters": ITERS,
-        "taps": "down2/mid0/up1",
-        "dispatch_per_basis_sec": round(dispatch_sec, 4),
-        "dispatch_per_basis_ms": round(1000 * dispatch_sec / n_bases, 1),
-        "dispatch_dtype": dispatch_dtype,
-        "dispatch_f32_sec": round(dispatch_f32_sec, 4),
-    }
-    if dispatch_bf16_sec is not None:
-        out["dispatch_bf16_sec"] = round(dispatch_bf16_sec, 4)
-    out["impl"] = impl
-    if fused_sec is not None:
-        out["fused_sec"] = round(fused_sec, 4)
-        out["fused_speedup_vs_dispatch"] = round(dispatch_sec / fused_sec, 3)
     m = _mfu(flops, sec)
     if m:
         out.update(m)
@@ -536,74 +554,86 @@ def _bf16_variant_sec(measure):
         return None
 
 
-def bench_config3():
+def bench_config3(full=False):
     """BASELINE config 3: SD 2.1-base latent pullback w/o edit prompt —
-    mid-tap, r=8, 5 iterations, fused flash pair. Measured at f32
-    (cross-round continuity) AND bf16 (the --dtype auto production path);
-    headline is the faster."""
-    _, _, _, _, f32_sec, RANK, ITERS, flops = _sd_pullback(cfg_scale=0.0)
-    bf16_sec = _bf16_variant_sec(
-        lambda: _sd_pullback(cfg_scale=0.0, dtype="bfloat16")[4])
-    if bf16_sec is not None and bf16_sec < f32_sec:
-        sec, dtype = bf16_sec, "bf16"
-    else:
-        sec, dtype = f32_sec, "f32"
+    mid-tap, r=8, 5 iterations, fused flash pair, at the production dtype
+    (--dtype auto). ``full`` adds the other dtype, headline best-of."""
+    prod = _prod_dtype()
+    _, _, _, _, sec, RANK, ITERS, flops = _sd_pullback(
+        cfg_scale=0.0, dtype=prod)
+    dtype = {"bfloat16": "bf16", "float32": "f32"}[prod]
     out = {
         "metric": "sd21_latent_pullback",
-        "value": round(sec, 4),
         "unit": "s",
-        "vs_baseline": round(NORTH_STAR_SECONDS / sec, 3),
-        "jvp_evals_per_sec": round((ITERS * 2 * RANK + RANK) / sec, 2),
         "pca_rank": RANK,
         "power_iters": ITERS,
         "attn": "flash_jvp/flash pair",
-        "dtype": dtype,
-        "f32_sec": round(f32_sec, 4),
+        f"{dtype}_sec": round(sec, 4),
     }
-    if bf16_sec is not None:
-        out["bf16_sec"] = round(bf16_sec, 4)
+    if full:
+        other = "float32" if prod == "bfloat16" else "bfloat16"
+        other_sec = _bf16_variant_sec(
+            lambda: _sd_pullback(cfg_scale=0.0, dtype=other)[4])
+        if other_sec is not None:
+            tag = {"bfloat16": "bf16", "float32": "f32"}[other]
+            out[f"{tag}_sec"] = round(other_sec, 4)
+            if other_sec < sec:
+                sec, dtype = other_sec, tag
+    out.update({
+        "value": round(sec, 4),
+        "vs_baseline": round(NORTH_STAR_SECONDS / sec, 3),
+        "jvp_evals_per_sec": round((ITERS * 2 * RANK + RANK) / sec, 2),
+        "dtype": dtype,
+    })
     out.update(_mfu(flops, sec))
     return out
 
 
-def bench_config4():
+def bench_config4(full=False):
     """BASELINE config 4: SD 2.1 pullback with CFG INSIDE the JVP
-    (s=2.5, fused 2·B encoder, r=8×5). The flash pair at the CFG-doubled
-    batch reproducibly crashes the remote compile helper (r3+r4, probe
-    c4_xla_r8 vs c4_flash_r8 — docs/compile_helper_faults.md), so the
-    section tries flash first and falls back to the XLA pair; a number at
-    reduced kernel speed beats an error row."""
+    (s=2.5, fused 2·B encoder, r=8×5) at the production dtype. The flash
+    pair at the CFG-doubled batch reproducibly crashed the remote compile
+    helper pre-r4-clamp (probe c4_xla_r8 vs c4_flash_r8 —
+    docs/compile_helper_faults.md), so the section tries flash first and
+    falls back to the XLA pair; a number at reduced kernel speed beats an
+    error row. ``full`` adds the other dtype, headline best-of."""
+    prod = _prod_dtype()
     attn_used = "flash_jvp/flash pair"
     try:
-        _, _, _, _, f32_sec, RANK, ITERS, flops = _sd_pullback(cfg_scale=2.5)
+        _, _, _, _, sec, RANK, ITERS, flops = _sd_pullback(
+            cfg_scale=2.5, dtype=prod)
     except Exception as e:
         print(f"[bench] config4 flash pair: {type(e).__name__}: "
               f"{str(e)[:200]} — falling back to xla attention",
               file=sys.stderr, flush=True)
-        _, _, _, _, f32_sec, RANK, ITERS, flops = _sd_pullback(
-            cfg_scale=2.5, attn="xla")
+        _, _, _, _, sec, RANK, ITERS, flops = _sd_pullback(
+            cfg_scale=2.5, attn="xla", dtype=prod)
         attn_used = "xla (flash pair failed to compile)"
-    bf16_sec = _bf16_variant_sec(
-        lambda: _sd_pullback(cfg_scale=2.5, dtype="bfloat16")[4])
-    if bf16_sec is not None and bf16_sec < f32_sec:
-        sec, dtype = bf16_sec, "bf16"
-    else:
-        sec, dtype = f32_sec, "f32"
+    dtype = {"bfloat16": "bf16", "float32": "f32"}[prod]
     out = {
         "metric": "sd21_pullback_cfg_in_jvp",
-        "value": round(sec, 4),
         "unit": "s",
-        "vs_baseline": round(NORTH_STAR_SECONDS / sec, 3),
-        "jvp_evals_per_sec": round((ITERS * 2 * RANK + RANK) / sec, 2),
         "pca_rank": RANK,
         "power_iters": ITERS,
         "guidance_scale": 2.5,
         "attn": attn_used,
-        "dtype": dtype,
-        "f32_sec": round(f32_sec, 4),
+        f"{dtype}_sec": round(sec, 4),
     }
-    if bf16_sec is not None:
-        out["bf16_sec"] = round(bf16_sec, 4)
+    if full:
+        other = "float32" if prod == "bfloat16" else "bfloat16"
+        other_sec = _bf16_variant_sec(
+            lambda: _sd_pullback(cfg_scale=2.5, dtype=other)[4])
+        if other_sec is not None:
+            tag = {"bfloat16": "bf16", "float32": "f32"}[other]
+            out[f"{tag}_sec"] = round(other_sec, 4)
+            if other_sec < sec:
+                sec, dtype = other_sec, tag
+    out.update({
+        "value": round(sec, 4),
+        "vs_baseline": round(NORTH_STAR_SECONDS / sec, 3),
+        "jvp_evals_per_sec": round((ITERS * 2 * RANK + RANK) / sec, 2),
+        "dtype": dtype,
+    })
     out.update(_mfu(flops, sec))
     return out
 
@@ -676,18 +706,20 @@ def bench_sd_sampling():
     return out
 
 
-def bench_sd_pullback():
+def bench_sd_pullback(full=False):
     """The BASELINE.md NORTH STAR (matrix key sd_e2e; also --sd): top-PC
     discovery + 16-micro-step x-space guidance + 50-step DDIM finish on one
-    SD 2.1 image — the '< 10 s on v5e-8' headline workload, measured here
-    on one chip (VERDICT r3 item 1)."""
+    SD 2.1 image at the production dtype — the '< 10 s on v5e-8' headline
+    workload, measured here on one chip (VERDICT r3 item 1). ``full`` adds
+    the other-dtype pipeline, headline best-of."""
     import dataclasses
 
     from diffusion_pullback_tpu.models import UNet2DCondition, sd21_base_unet
 
+    prod = _prod_dtype()
     params, z, ctx, res, sec, RANK, ITERS, pb_flops = _sd_pullback(
-        cfg_scale=0.0)
-    unet = UNet2DCondition(sd21_base_unet())
+        cfg_scale=0.0, dtype=prod)
+    unet = UNet2DCondition(sd21_base_unet())  # f32 handle for FLOP counting
 
     sched = DiffusionSchedule.scaled_linear()
     grid50 = ddim_timestep_grid(50)
@@ -710,23 +742,29 @@ def bench_sd_pullback():
         return time.perf_counter() - t0
 
     vk = res.vT[0].reshape(1, 64, 64, 4).astype(jnp.float32)
-    edit_sec = time_edit(unet, params, vk)
+    edit_sec = time_edit(
+        UNet2DCondition(dataclasses.replace(sd21_base_unet(), dtype=prod)),
+        params, vk)
+    e2e_dtype = {"bfloat16": "bf16", "float32": "f32"}[prod]
+    extra = {}
 
-    # production dtype (--dtype auto = bf16 on accelerators); headline is
-    # the faster pipeline, f32 numbers kept as fields
-    f32_sec, f32_edit_sec = sec, edit_sec
-    bf16_sec = _bf16_variant_sec(
-        lambda: _sd_pullback(cfg_scale=0.0, dtype="bfloat16")[4])
-    bf16_edit_sec = _bf16_variant_sec(
-        lambda: time_edit(
-            UNet2DCondition(dataclasses.replace(sd21_base_unet(),
-                                                dtype="bfloat16")),
-            params, vk))
-    if (bf16_sec is not None and bf16_edit_sec is not None
-            and bf16_sec + bf16_edit_sec < sec + edit_sec):
-        sec, edit_sec, e2e_dtype = bf16_sec, bf16_edit_sec, "bf16"
-    else:
-        e2e_dtype = "f32"
+    if full:
+        other = "float32" if prod == "bfloat16" else "bfloat16"
+        tag = {"bfloat16": "bf16", "float32": "f32"}[other]
+        o_sec = _bf16_variant_sec(
+            lambda: _sd_pullback(cfg_scale=0.0, dtype=other)[4])
+        o_edit_sec = _bf16_variant_sec(
+            lambda: time_edit(
+                UNet2DCondition(dataclasses.replace(sd21_base_unet(),
+                                                    dtype=other)),
+                params, vk))
+        if o_sec is not None:
+            extra[f"pullback_{tag}_sec"] = round(o_sec, 4)
+        if o_edit_sec is not None:
+            extra[f"edit_{tag}_sec"] = round(o_edit_sec, 4)
+        if (o_sec is not None and o_edit_sec is not None
+                and o_sec + o_edit_sec < sec + edit_sec):
+            sec, edit_sec, e2e_dtype = o_sec, o_edit_sec, tag
 
     e2e = sec + edit_sec
 
@@ -750,16 +788,11 @@ def bench_sd_pullback():
         "pullback_sec": round(sec, 4),
         "edit_sec": round(edit_sec, 4),
         "e2e_dtype": e2e_dtype,
-        "pullback_f32_sec": round(f32_sec, 4),
-        "edit_f32_sec": round(f32_edit_sec, 4),
         "jvp_evals_per_sec": round((ITERS * 2 * RANK + RANK) / sec, 2),
         "pca_rank": RANK,
         "power_iters": ITERS,
     }
-    if bf16_sec is not None:
-        out["pullback_bf16_sec"] = round(bf16_sec, 4)
-    if bf16_edit_sec is not None:
-        out["edit_bf16_sec"] = round(bf16_edit_sec, 4)
+    out.update(extra)
     pm = _mfu(pb_flops, sec)
     if pm:
         out["pullback_perf"] = pm
@@ -1221,13 +1254,36 @@ def bench_flash_tune(apply=False):
     return out
 
 
+def _emit(out, error=None):
+    """Print the CUMULATIVE artifact as one JSON line. Called after every
+    completed section (VERDICT r4 item 1a): the driver takes the last line,
+    so a kill at any point still lands every number measured so far."""
+    c1 = out.get("config1")
+    c1 = c1 if isinstance(c1, dict) else {}
+    try:
+        backend = jax.default_backend()
+    except Exception as e:
+        backend = f"unavailable: {type(e).__name__}"
+    top = {
+        "metric": "baseline_matrix_config1_e2e",
+        "value": c1.get("value"),
+        "unit": "s",
+        "vs_baseline": c1.get("vs_baseline"),
+        "backend": backend,
+    }
+    if error:
+        top["error"] = error
+    top.update(out)
+    print(json.dumps(top), flush=True)
+
+
 def _arm_watchdog(out, deadline_s):
     """Hard backstop for the artifact-must-land guarantee: the per-section
-    deadline check cannot fire while a section is stuck INSIDE a backend
+    admission check cannot fire while a section is stuck INSIDE a backend
     call (axon backend init has been observed to hang ~20 min when the
     relay is down, blocked in C++ where no Python signal handler runs). A
-    daemon thread prints whatever sections completed plus an error marker
-    and hard-exits, so the driver always records a JSON line."""
+    daemon thread prints the cumulative artifact plus an error marker and
+    hard-exits before the external driver window can kill the process."""
     import threading
 
     done = threading.Event()
@@ -1235,26 +1291,22 @@ def _arm_watchdog(out, deadline_s):
     def _fire():
         if done.wait(deadline_s):
             return
-        snap = dict(out)  # snapshot: main thread may still be inserting
-        c1 = snap.get("config1")
-        c1 = c1 if isinstance(c1, dict) else {}
-        top = {"metric": "baseline_matrix_config1_e2e",
-               "value": c1.get("value"), "unit": "s",
-               "vs_baseline": c1.get("vs_baseline"),
-               "error": f"watchdog: matrix exceeded {int(deadline_s)}s "
-                        "(backend hang?)"}
-        top.update(snap)
-        print(json.dumps(top), flush=True)
+        # snapshot: main thread may still be inserting
+        _emit(dict(out), error=f"watchdog: matrix exceeded {int(deadline_s)}s"
+                               " (section overran its estimate or backend"
+                               " hang)")
         os._exit(1)
 
     threading.Thread(target=_fire, daemon=True).start()
     return done
 
 
-def main():
-    """Full matrix, one JSON line. Configs run in BASELINE order; a config
-    that errors or starts past the deadline is recorded as skipped so the
-    artifact always lands."""
+def main(full=False):
+    """Full matrix. Configs run in BASELINE order; a section is admitted
+    only if the elapsed time plus its estimated cost (persisted from prior
+    runs, cold defaults otherwise) fits the budget, and the cumulative JSON
+    artifact is re-emitted after every section so the driver's last-line
+    parse always lands whatever completed (VERDICT r4 item 1)."""
     t_start = time.perf_counter()
     sections = [
         ("config1", bench_config1),
@@ -1267,50 +1319,50 @@ def main():
         ("sd_sampling", bench_sd_sampling),
         ("mesh", bench_mesh_pullback),
     ]
+    takes_full = {"config1", "config2", "config3", "config4", "sd_e2e"}
     out = {}
-    # hard deadline: 2x the soft one, so a section legitimately admitted
-    # just under the soft deadline still gets a full deadline's worth of
-    # time (cold SDXL compiles run 5-15 min) before being called a hang
-    hard_deadline = float(os.environ.get("DPB_BENCH_HARD_DEADLINE",
-                                         MATRIX_DEADLINE_SECONDS * 2))
+    costs = _load_costs()
+    # watchdog: a grace window past the budget — a section admitted with a
+    # sound estimate finishes inside it; a hang doesn't get to eat the
+    # driver's window before the artifact lands
+    hard_deadline = float(os.environ.get(
+        "DPB_BENCH_HARD_DEADLINE", MATRIX_DEADLINE_SECONDS + 180))
     watchdog_done = _arm_watchdog(out, hard_deadline)
     for name, fn in sections:
+        run_full = full and name in takes_full
+        # --full variants cost multiples of the production path: estimate
+        # and persist them under their own key so a manual --full run never
+        # inflates the default matrix's admission estimates (or vice versa)
+        cost_key = name + ("#full" if run_full else "")
         elapsed = time.perf_counter() - t_start
-        if elapsed > MATRIX_DEADLINE_SECONDS:
-            out[name] = {"skipped": f"deadline ({int(elapsed)}s elapsed)"}
+        est = _estimate_cost(cost_key, costs)
+        if elapsed + est > MATRIX_DEADLINE_SECONDS:
+            out[name] = {"skipped": f"budget: {int(elapsed)}s elapsed + "
+                                    f"est {int(est)}s > "
+                                    f"{int(MATRIX_DEADLINE_SECONDS)}s"}
             continue
         if name == "mesh" and len(jax.devices()) == 1:
             out[name] = {"skipped": "1 device (mesh needs >1; "
                                     "dryrun_multichip covers sharding)"}
             continue
-        # section progress on stderr (stdout stays one JSON line): lets a
-        # tail of the log attribute a stall to a section + compile, not a hang
-        print(f"[bench +{int(elapsed)}s] {name} ...", file=sys.stderr,
-              flush=True)
+        # section progress on stderr: lets a tail of the log attribute a
+        # stall to a section + compile, not a hang
+        print(f"[bench +{int(elapsed)}s] {name} (est {int(est)}s) ...",
+              file=sys.stderr, flush=True)
         status = "done"
+        t_sec = time.perf_counter()
         try:
-            out[name] = fn()
+            out[name] = fn(full=True) if run_full else fn()
         except Exception as e:  # record, keep going — artifact must land
             out[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
             status = "ERROR"
+        _save_cost(cost_key, time.perf_counter() - t_sec)
         print(f"[bench +{int(time.perf_counter() - t_start)}s] "
               f"{name} {status}", file=sys.stderr, flush=True)
+        _emit(out)
 
-    c1 = out.get("config1", {})
-    try:
-        backend = jax.default_backend()
-    except Exception as e:
-        backend = f"unavailable: {type(e).__name__}"
-    top = {
-        "metric": "baseline_matrix_config1_e2e",
-        "value": c1.get("value"),
-        "unit": "s",
-        "vs_baseline": c1.get("vs_baseline"),
-        "backend": backend,
-    }
-    top.update(out)
     watchdog_done.set()
-    print(json.dumps(top))
+    _emit(out)
 
 
 if __name__ == "__main__":
@@ -1331,6 +1383,6 @@ if __name__ == "__main__":
     elif "--sd-sampling" in sys.argv:
         print(json.dumps(bench_sd_sampling()))
     elif "--config2" in sys.argv:
-        print(json.dumps(bench_config2()))
+        print(json.dumps(bench_config2(full="--full" in sys.argv)))
     else:
-        main()
+        main(full="--full" in sys.argv)
