@@ -18,6 +18,9 @@ from .configs import (
     adm_classifier_imagenet256,
     adm_encoder_tiny,
     adm_ffhq_p2,
+    adm_imagenet64_cond,
+    adm_imagenet64_uncond,
+    adm_imagenet128_cond,
     adm_imagenet256_cond,
     adm_imagenet256_uncond,
     adm_lsun_256,
@@ -51,6 +54,9 @@ __all__ = [
     "adm_classifier_imagenet256",
     "adm_encoder_tiny",
     "adm_ffhq_p2",
+    "adm_imagenet64_cond",
+    "adm_imagenet64_uncond",
+    "adm_imagenet128_cond",
     "adm_imagenet256_cond",
     "adm_imagenet256_uncond",
     "adm_lsun_256",
@@ -119,6 +125,12 @@ def model_for_name(model_name: str, dtype: str = "float32", precision=None,
         "AFHQ_P2": adm_ffhq_p2,
         "Flower_P2": adm_ffhq_p2,
         "CIFAR10": adm_cifar10,
+        "CIFAR10Uncond": adm_cifar10,
+        "ImageNet64Uncond": adm_imagenet64_uncond,
+        "ImageNet256Uncond": adm_imagenet256_uncond,
+        "ImageNet256Cond": adm_imagenet256_cond,
+        "ImageNet128Cond": adm_imagenet128_cond,
+        "ImageNet64Cond": adm_imagenet64_cond,
     }
     if model_name in hf:
         cfg = dataclasses.replace(hf[model_name](), dtype=dtype,

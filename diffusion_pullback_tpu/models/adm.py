@@ -110,6 +110,12 @@ class ADMAttentionBlock(nn.Module):
     precision: Any = None
     attn_impl: str = "xla"
     zero_init: bool = True
+    # qkv channel layout of the torch checkpoint (guided_diffusion/
+    # unet.py:258-275): False → QKVAttentionLegacy, heads-major
+    # [h0:qkv, h1:qkv, …]; True → QKVAttention ("new order"), qkv-major
+    # [Q(all heads); K; V] — used by the ImageNet64Cond / 512px
+    # checkpoints (script_util.py IMAGENET_64_COND_DICT).
+    new_order: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -120,7 +126,12 @@ class ADMAttentionBlock(nn.Module):
         h = h.reshape(b, hh * ww, c)
         qkv = nn.Dense(3 * c, dtype=self.dtype, precision=self.precision,
                        name="qkv")(h)
-        q, k, v = jnp.split(qkv.reshape(b, -1, self.num_heads, 3 * hd), 3, axis=-1)
+        if self.new_order:
+            q, k, v = (part.reshape(b, -1, self.num_heads, hd)
+                       for part in jnp.split(qkv, 3, axis=-1))
+        else:
+            q, k, v = jnp.split(qkv.reshape(b, -1, self.num_heads, 3 * hd),
+                                3, axis=-1)
         out = attention(q, k, v, impl=self.attn_impl, precision=self.precision)
         out = nn.Dense(
             c, dtype=self.dtype, precision=self.precision,
@@ -154,9 +165,11 @@ class UNetADM(nn.Module):
         t = jnp.asarray(t)
         if t.ndim == 0:
             t = jnp.broadcast_to(t[None], (batch,))
+        ddpm_style = getattr(cfg, "time_embed_style", "adm") == "ddpm"
         feat = timestep_embedding(t, cfg.model_channels,
-                                  flip_sin_to_cos=True,
-                                  downscale_freq_shift=0.0)
+                                  flip_sin_to_cos=not ddpm_style,
+                                  downscale_freq_shift=1.0 if ddpm_style
+                                  else 0.0)
         emb = nn.Dense(4 * cfg.model_channels, dtype=self._dtype,
                        name="time_embed_0")(feat)
         emb = nn.Dense(4 * cfg.model_channels, dtype=self._dtype,
@@ -194,7 +207,9 @@ class UNetADM(nn.Module):
         attnblock = lambda ch, name: ADMAttentionBlock(
             self._heads(ch), norm_num_groups=cfg.norm_num_groups,
             dtype=dtype, precision=cfg.precision, attn_impl=cfg.attn_impl,
-            zero_init=cfg.zero_init, name=name,
+            zero_init=cfg.zero_init,
+            new_order=getattr(cfg, "use_new_attention_order", False),
+            name=name,
         )
 
         decoding = mode == "decode"
@@ -407,7 +422,9 @@ class EncoderUNetADM(nn.Module):
         attnblock = lambda ch, name: ADMAttentionBlock(
             self._heads(ch), norm_num_groups=cfg.norm_num_groups,
             dtype=dtype, precision=cfg.precision, attn_impl=cfg.attn_impl,
-            zero_init=cfg.zero_init, name=name,
+            zero_init=cfg.zero_init,
+            new_order=getattr(cfg, "use_new_attention_order", False),
+            name=name,
         )
 
         results = []

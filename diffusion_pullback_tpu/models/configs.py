@@ -293,6 +293,15 @@ class ADMConfig:
 
     Factory presets mirror the per-dataset dicts of the reference's g_DDPM
     factory (src/models/guided_diffusion/script_util.py:96-257).
+
+    ``attention_resolutions`` holds DOWNSAMPLE FACTORS (1, 2, 4, …), the
+    semantics of the torch ``UNetModel(attention_resolutions=...)`` argument
+    itself — NOT the "32,16,8" resolution strings of the script_util dicts,
+    which create_model converts via ``image_size // res``
+    (guided_diffusion/script_util.py:413-415). At 256px the published
+    "32,16,8" set maps to ds {8,16,32} — the same numbers — which hid this
+    distinction until the 32/64px presets (oracle-tested in
+    tests/test_iddpm_oracle.py).
     """
 
     image_size: int = 256
@@ -314,6 +323,16 @@ class ADMConfig:
     dtype: str = "float32"
     precision: Optional[str] = None
     attn_impl: str = "xla"
+    # Sinusoidal feature convention. 'adm' = guided_diffusion/improved_
+    # diffusion nn.timestep_embedding ([cos,sin], freqs / half). 'ddpm' =
+    # the Fairseq/DDPM convention of the improved_ddpm_old stack
+    # ([sin,cos], freqs / (half-1), improved_ddpm_old/nn.py:123-144) —
+    # its ONLY behavioral difference from guided_diffusion's UNetModel.
+    time_embed_style: str = "adm"
+    # qkv checkpoint layout: QKVAttention vs Legacy
+    # (guided_diffusion/unet.py:258-275); True for the ImageNet64Cond /
+    # 512px checkpoints
+    use_new_attention_order: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -390,26 +409,71 @@ def adm_imagenet256_cond() -> ADMConfig:
     return ADMConfig(num_classes=1000)
 
 
+def adm_imagenet128_cond() -> ADMConfig:
+    """ImageNet128Cond (IMAGENET_128_COND_DICT,
+    guided_diffusion/script_util.py:86-110): 128px, channels 256, 2 res
+    blocks, 4 heads (no head_channels), attention at res 32/16/8 →
+    ds (4, 8, 16), channel_mult (1,1,2,3,4)."""
+    return ADMConfig(image_size=128, channel_mult=(1, 1, 2, 3, 4),
+                     attention_resolutions=(4, 8, 16), num_heads=4,
+                     num_head_channels=-1, num_classes=1000)
+
+
+def adm_imagenet64_cond() -> ADMConfig:
+    """ImageNet64Cond (IMAGENET_64_COND_DICT, script_util.py:112-138):
+    64px, channels 192, 3 res blocks, head_channels 64, attention at res
+    32/16/8 → ds (2, 4, 8), channel_mult (1,2,3,4), NEW qkv attention
+    order (oracle-tested in tests/test_iddpm_oracle.py)."""
+    return ADMConfig(image_size=64, model_channels=192, num_res_blocks=3,
+                     channel_mult=(1, 2, 3, 4), attention_resolutions=(2, 4, 8),
+                     num_classes=1000, use_new_attention_order=True)
+
+
 def adm_lsun_256() -> ADMConfig:
-    """LSUN bedroom/cat/horse P2-style 256px configs."""
-    return ADMConfig(model_channels=128, num_head_channels=-1, num_heads=4,
-                     attention_resolutions=(16,), resblock_updown=False,
-                     use_scale_shift_norm=False)
+    """LSUN bedroom/cat/horse 256px (reference LSUN_DICT,
+    guided_diffusion/script_util.py:140-163): channels 256, 2 res blocks,
+    attention at res 32/16/8 → ds (8, 16, 32), head_channels 64,
+    scale-shift norm, resblock up/down — i.e. the ADMConfig defaults."""
+    return ADMConfig(attention_resolutions=(8, 16, 32))
 
 
 def adm_ffhq_p2() -> ADMConfig:
     """P2-weighting FFHQ/AFHQ/Flower 256px checkpoints (reference
-    FFHQ_P2/AFHQ_P2/Flower_P2 names)."""
-    return ADMConfig(model_channels=128, channel_mult=(1, 1, 2, 2, 4, 4),
-                     attention_resolutions=(16,), num_heads=4,
-                     num_head_channels=-1, resblock_updown=False,
-                     use_scale_shift_norm=True)
+    FFHQ_P2/AFHQ_P2/Flower_P2 names, P2_DICT at
+    guided_diffusion/script_util.py:165-188 ≡ improved_ddpm_old AFHQ_DICT at
+    improved_ddpm_old/script_util.py:3-20): channels 128, 1 res block,
+    attention at res 16 → ds (16,), head_channels 64, scale-shift norm,
+    resblock up/down. Oracle-tested against the EXECUTED improved_ddpm_old
+    factory in tests/test_iddpm_oracle.py."""
+    return ADMConfig(model_channels=128, num_res_blocks=1,
+                     channel_mult=(1, 1, 2, 2, 4, 4),
+                     attention_resolutions=(16,), num_head_channels=64,
+                     resblock_updown=True, use_scale_shift_norm=True)
 
 
 def adm_cifar10() -> ADMConfig:
-    return ADMConfig(image_size=32, model_channels=128,
-                     channel_mult=(1, 2, 2, 2), attention_resolutions=(16, 8),
-                     num_head_channels=64)
+    """CIFAR10Uncond (reference CIFAR10_32_UNCOND_DICT + guided_diffusion
+    model defaults, script_util.py:211-233 + 291-311): 32px, channels 128,
+    3 res blocks, attention at res 16/8 → ds (2, 4), 4 heads (no
+    head_channels), scale-shift norm, NO resblock up/down."""
+    return ADMConfig(image_size=32, model_channels=128, num_res_blocks=3,
+                     channel_mult=(1, 2, 2, 2), attention_resolutions=(2, 4),
+                     num_heads=4, num_head_channels=-1,
+                     resblock_updown=False)
+
+
+def adm_imagenet64_uncond() -> ADMConfig:
+    """ImageNet64Uncond (reference IMAGENET_64_UNCOND_DICT + defaults,
+    guided_diffusion/script_util.py:190-209; the improved_diffusion i_DDPM
+    route builds the value-identical model from its own dicts,
+    improved_diffusion/script_util.py:10-30): 64px, channels 128, 3 res
+    blocks, attention at res 16/8 → ds (4, 8), 4 heads, scale-shift norm,
+    NO resblock up/down. Oracle-tested against the EXECUTED
+    improved_diffusion factory in tests/test_iddpm_oracle.py."""
+    return ADMConfig(image_size=64, model_channels=128, num_res_blocks=3,
+                     channel_mult=(1, 2, 3, 4), attention_resolutions=(4, 8),
+                     num_heads=4, num_head_channels=-1,
+                     resblock_updown=False)
 
 
 def adm_tiny(image_size: int = 16) -> ADMConfig:

@@ -129,12 +129,23 @@ def convert_torch_state_dict(
         # the suffix of merged VAE stage names)
         if path and path[-1].endswith(("downsamplers_0", "upsamplers_0")):
             path = path + ("conv",)
+        # ADM with resblock_updown=False: the plain Downsample/Upsample
+        # modules store their conv as '.op'/'.conv'
+        # (guided_diffusion/unet.py Downsample/Upsample ≡ improved_diffusion
+        # unet.py:53-110); our UNetADM names the conv input_blocks_N_0 /
+        # output_blocks_N_M directly, so drop the torch sub-name
+        if (len(path) >= 2 and path[-1] in ("op", "conv")
+                and re.fullmatch(r"(?:input|output)_blocks_\d+_\d+",
+                                 path[-2])):
+            path = path[:-1]
         if leaf == "positional_embedding" and arr.ndim == 2:
             # AttentionPool2d stores (C, S+1); our param is (S+1, C)
             # (guided_diffusion/unet.py:36-38)
             flat_out[path + (leaf,)] = arr.T
-        elif path and path[-1].endswith("_embedding") and leaf == "weight":
-            # nn.Embed tables keep (vocab, dim) orientation
+        elif path and (path[-1].endswith("_embedding")
+                       or path[-1] == "label_emb") and leaf == "weight":
+            # nn.Embed tables keep (vocab, dim) orientation (label_emb is
+            # ADM's class embedding, guided_diffusion/unet.py:475)
             flat_out[path + ("embedding",)] = arr
         elif _is_norm_path(path) or (leaf == "weight" and arr.ndim == 1):
             # explicit *norm* names OR any 1-D weight (ADM's in_layers_0 /
@@ -255,6 +266,16 @@ def flax_params_to_torch_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndar
         # strip the inner 'conv' of samplers back to HF naming
         if len(mods) >= 2 and mods[-2] in ("downsamplers_0", "upsamplers_0") and mods[-1] == "conv":
             mods = mods[:-1]
+        # ADM plain Downsample/Upsample (resblock_updown=False): our conv
+        # sits directly at input_blocks_N_0 / output_blocks_N_M; torch nests
+        # it as '.op' / '.conv' (the input stem input_blocks_0_0 is a direct
+        # conv on both sides and must NOT gain the sub-name)
+        if len(mods) == 1 and leaf in ("kernel", "bias"):
+            if (re.fullmatch(r"input_blocks_\d+_\d+", mods[0])
+                    and mods[0] != "input_blocks_0_0"):
+                mods = mods + ("op",)
+            elif re.fullmatch(r"output_blocks_\d+_\d+", mods[0]):
+                mods = mods + ("conv",)
         name_parts = []
         for p in mods:
             name_parts += _expand_list_indices(p)

@@ -249,7 +249,12 @@ def preset(args):
         known_hf = {"CelebA_HQ_HF", "LSUN_church_HF", "LSUN_bedroom_HF",
                     "FFHQ_HF"}
         known_adm = {"LSUN_bedroom", "LSUN_cat", "LSUN_horse",
-                     "FFHQ_P2", "AFHQ_P2", "Flower_P2", "CIFAR10"}
+                     "FFHQ_P2", "AFHQ_P2", "Flower_P2", "CIFAR10",
+                     # the checkpoint-load list of the reference's
+                     # get_custom_diffusion_model (utils/utils.py:70,96)
+                     "CIFAR10Uncond", "ImageNet64Uncond",
+                     "ImageNet256Uncond", "ImageNet256Cond",
+                     "ImageNet128Cond", "ImageNet64Cond"}
         if args.model_name not in known_hf | known_adm:
             raise ValueError(
                 f"model_name choice: {sorted(known_hf | known_adm)} "
