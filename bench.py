@@ -76,8 +76,13 @@ MATRIX_DEADLINE_SECONDS = float(os.environ.get("DPB_BENCH_DEADLINE", 1500))
 # incrementally rather than overrunning the window on SDXL compiles.
 _DEFAULT_COSTS = {
     "config1": 350.0, "config2": 500.0, "config3": 350.0, "config4": 350.0,
-    "sd_e2e": 350.0, "config5_single_chip": 700.0, "config5_proxy": 150.0,
+    # config5 rows: the proxy compiles the same SDXL-scale programs as the
+    # spec run when it goes first (observed cold: >570 s — r5 watchdog kill)
+    "sd_e2e": 350.0, "config5_single_chip": 700.0, "config5_proxy": 600.0,
     "sd_sampling": 800.0, "mesh": 120.0,
+    # near-free when no checkpoint is on disk (the common case); when one
+    # appears, _estimate_cost special-cases the real run
+    "real_parity": 2.0,
 }
 
 _COSTS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -116,6 +121,10 @@ def _estimate_cost(name: str, costs: dict) -> float:
     """Admission estimate: last observed wall × 1.25 margin, or the cold
     default for a section never run on this machine (×2 for the '#full'
     variant keys — they measure both dtypes plus ladders)."""
+    if name.split("#")[0] == "real_parity":
+        # status probe is free; an actual parity run (checkpoint present)
+        # costs a full convert + compile pass
+        return 900.0 if _find_real_checkpoint() else 2.0
     if name in costs:
         return costs[name] * 1.25
     base = _DEFAULT_COSTS.get(name.split("#")[0], 300.0)
@@ -127,6 +136,19 @@ def _prod_dtype() -> str:
     (golden/parity bit-stability). The default matrix measures THIS path;
     the f32/bf16 best-of variants moved behind --full (VERDICT r4 item 1c)."""
     return "float32" if jax.devices()[0].platform == "cpu" else "bfloat16"
+
+
+def _w(params, dtype: str):
+    """Production parameter STORAGE for a measurement at `dtype`
+    (--weights_dtype auto follows --dtype, utils/config.py:301-305; cast
+    site main.py:88): bf16 weights halve the HBM weight traffic that
+    dominates batch-1 stages (the edit walk and finish run ~29 sequential
+    batch-1 U-Net evals — weight-bandwidth-bound, r4 edit MFU 0.25)."""
+    if dtype == "bfloat16":
+        from diffusion_pullback_tpu.models.convert import cast_f32_to_bf16
+
+        return jax.jit(cast_f32_to_bf16)(params)
+    return params
 
 
 def _sync(tree):
@@ -185,18 +207,21 @@ def bench_config1(full=False):
     def measure(dtype):
         """(ddim_sps, pull_sec, edit_sec) for one dtype. params always enter
         through jit arguments (closed-over weights would be baked into the
-        HLO as literals — oversized programs, no donation); ε outputs are
+        HLO as literals — oversized programs, no donation) and are stored at
+        the production --weights_dtype for this dtype (bf16 storage halves
+        the HBM weight reads that bound these batch-1 stages); ε outputs are
         promoted to f32 so the DDIM carry math stays f32 either way."""
         import dataclasses
 
         model = UNet2D(dataclasses.replace(cfg_f32, dtype=dtype))
+        p_in = _w(params, dtype)
         eps_of = lambda p: (
             lambda z, t: model.apply(p, z, t).astype(jnp.float32))
 
         fwd = jax.jit(lambda p, z: ddim_forward(eps_of(p), z, sched, grid100))
-        _sync(fwd(params, x))  # compile
+        _sync(fwd(p_in, x))  # compile
         t0 = time.perf_counter()
-        _sync(fwd(params, x))
+        _sync(fwd(p_in, x))
         ddim_sec = time.perf_counter() - t0
 
         pull = jax.jit(
@@ -206,9 +231,9 @@ def bench_config1(full=False):
                 z, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS, atol=0.0,
             )
         )
-        _sync(pull(params, x, jax.random.key(2)))  # compile
+        _sync(pull(p_in, x, jax.random.key(2)))  # compile
         t0 = time.perf_counter()
-        res = pull(params, x, jax.random.key(2))
+        res = pull(p_in, x, jax.random.key(2))
         _sync(res)
         pull_sec = time.perf_counter() - t0
 
@@ -224,9 +249,9 @@ def bench_config1(full=False):
                                 start_idx=edit_t_idx)
 
         edit_jit = jax.jit(edit)
-        _sync(edit_jit(params, x, vk))  # compile
+        _sync(edit_jit(p_in, x, vk))  # compile
         t0 = time.perf_counter()
-        _sync(edit_jit(params, x, vk))
+        _sync(edit_jit(p_in, x, vk))
         return ddim_sec, pull_sec, time.perf_counter() - t0
 
     prod = _prod_dtype()
@@ -358,7 +383,7 @@ def bench_config2(full=False):
     prod = _prod_dtype()
     model_prod = UNet2D(_dc.replace(cfg, dtype=prod))
     dispatch_sec = time_dispatch(
-        [pull_for(model_prod, tap) for tap in taps], params, xs)
+        [pull_for(model_prod, tap) for tap in taps], _w(params, prod), xs)
     dispatch_dtype = {"bfloat16": "bf16", "float32": "f32"}[prod]
     sec, impl = dispatch_sec, f"dispatch_per_basis_{dispatch_dtype}"
     n_bases = len(taps) * N_SAMPLES * len(t_vals)
@@ -380,7 +405,7 @@ def bench_config2(full=False):
         try:
             other_sec = time_dispatch(
                 [pull_for(UNet2D(_dc.replace(cfg, dtype=other)), tap)
-                 for tap in taps], params, xs)
+                 for tap in taps], _w(params, other), xs)
             tag = {"bfloat16": "bf16", "float32": "f32"}[other]
             out[f"dispatch_{tag}_sec"] = round(other_sec, 4)
             if other_sec < sec:
@@ -396,7 +421,8 @@ def bench_config2(full=False):
         # variants LAST (B16+remat measured 20.9 s vs 6.0 s dispatch).
         from diffusion_pullback_tpu.geometry import batched_local_pullback
 
-        model = UNet2D(cfg)
+        model = model_prod  # same production dtype as the dispatch rows
+        fused_params = _w(params, prod)
         B = N_SAMPLES * len(t_vals)
         xs_flat = jnp.reshape(
             jnp.broadcast_to(xs[:, 0][:, None],
@@ -422,11 +448,11 @@ def bench_config2(full=False):
             try:
                 fused = [fused_for(tap, chunk, remat) for tap in taps]
                 for f in fused:  # compile (one program per tap)
-                    _sync(f(params, xparts[0], tparts[0], keys[0]))
+                    _sync(f(fused_params, xparts[0], tparts[0], keys[0]))
                 t0 = time.perf_counter()
                 for f in fused:
                     for xp, tp in zip(xparts, tparts):
-                        last = f(params, xp, tp, keys[0])
+                        last = f(fused_params, xp, tp, keys[0])
                 _sync(last)
                 fused_sec = time.perf_counter() - t0
                 fused_variant = (f"B{nb}_chunk{chunk}"
@@ -478,7 +504,9 @@ def _sd_setup(cfg_scale: float, attn: str = "flash", dtype: str = "float32"):
     attn="xla" swaps both halves to the XLA attention (the config-4 CFG
     shapes crash the remote compile helper under the flash pair — see
     docs/compile_helper_faults.md). dtype="bfloat16" measures the
-    production path (--dtype auto on accelerators); params stay f32."""
+    production path (--dtype auto on accelerators), with parameter storage
+    at the matching --weights_dtype (bf16 weights halve HBM weight reads
+    at the batch-1/2 shapes these configs run)."""
     import dataclasses
 
     from diffusion_pullback_tpu.models import UNet2DCondition, sd21_base_unet
@@ -492,9 +520,9 @@ def _sd_setup(cfg_scale: float, attn: str = "flash", dtype: str = "float32"):
     ctx = jax.random.normal(jax.random.key(1), (1, 77, 1024), jnp.float32)
     neg = jax.random.normal(jax.random.key(5), (1, 77, 1024), jnp.float32)
     t = jnp.float32(699.3)
-    params = jax.jit(
+    params = _w(jax.jit(
         lambda k: UNet2DCondition(cfg).init(k, z, t, ctx)
-    )(jax.random.key(2))
+    )(jax.random.key(2)), dtype)
 
     tap = TapPoint("mid", 0)
     enc = lambda u: (lambda p, q, c: u.apply(p, q, t, c, tap, method=U.encode))
@@ -753,6 +781,8 @@ def bench_sd_pullback(full=False):
         tag = {"bfloat16": "bf16", "float32": "f32"}[other]
         o_sec = _bf16_variant_sec(
             lambda: _sd_pullback(cfg_scale=0.0, dtype=other)[4])
+        # NOTE: the other-dtype edit reuses the prod-storage params (the
+        # cast is one-way) — a compute-dtype-only variant, labeled as such
         o_edit_sec = _bf16_variant_sec(
             lambda: time_edit(
                 UNet2DCondition(dataclasses.replace(sd21_base_unet(),
@@ -802,7 +832,7 @@ def bench_sd_pullback(full=False):
     return out
 
 
-def bench_sdxl_pullback(rank=8, iters=5, chunk=2, with_mfu=True):
+def bench_sdxl_pullback(rank=8, iters=5, chunk=2, with_mfu=True, remat=True):
     """BASELINE config 5, single chip, AT THE CLI SPEC: SDXL-base 1024px
     mid-tap pullback, top-8 PCs × 5 power iterations, bf16 random-init
     weights, probe chunking + remat (the single-chip memory recipe). The
@@ -818,7 +848,7 @@ def bench_sdxl_pullback(rank=8, iters=5, chunk=2, with_mfu=True):
     from diffusion_pullback_tpu.models.unet2d_condition import UNet2DCondition as U
 
     base = dataclasses.replace(
-        sdxl_base_unet(), dtype="bfloat16", remat_transformer=True,
+        sdxl_base_unet(), dtype="bfloat16", remat_transformer=remat,
     )
     unet_jvp = UNet2DCondition(dataclasses.replace(base, attn_impl="flash_jvp"))
     unet_vjp = UNet2DCondition(dataclasses.replace(base, attn_impl="flash"))
@@ -843,7 +873,7 @@ def bench_sdxl_pullback(rank=8, iters=5, chunk=2, with_mfu=True):
         lambda p, zz, c, k: local_pullback(
             lambda q: e_jvp(p, q, c),
             zz, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS, atol=0.0,
-            chunk_size=min(chunk, RANK), remat=True,
+            chunk_size=min(chunk, RANK), remat=remat,
             fn_vjp=lambda q: e_vjp(p, q, c),
         )
     )
@@ -1301,6 +1331,58 @@ def _arm_watchdog(out, deadline_s):
     return done
 
 
+_CKPT_GLOBS = (
+    # anywhere a released torch checkpoint could plausibly land; checked
+    # every run so parity lands without builder action the day weights
+    # appear (VERDICT r4 item 7). DPB_REAL_CHECKPOINT overrides.
+    "/root/weights/**/*.bin", "/root/weights/**/*.ckpt",
+    "/root/weights/**/*.safetensors",
+    "/root/checkpoints/**/*.bin", "/root/checkpoints/**/*.ckpt",
+    "/root/repo/weights/**/*.bin", "/root/repo/weights/**/*.ckpt",
+    os.path.expanduser(
+        "~/.cache/huggingface/hub/models--google--ddpm-ema-celebahq-256/"
+        "**/diffusion_pytorch_model.bin"),
+)
+
+
+def _find_real_checkpoint():
+    import glob
+
+    env = os.environ.get("DPB_REAL_CHECKPOINT")
+    if env and os.path.exists(env):
+        return env
+    for pat in _CKPT_GLOBS:
+        hits = sorted(glob.glob(pat, recursive=True))
+        if hits:
+            return hits[0]
+    return None
+
+
+def bench_real_parity():
+    """Released-checkpoint parity acceptance: auto-runs
+    scripts/parity_real_weights.sh when a real checkpoint exists on disk
+    (env DPB_REAL_CHECKPOINT or a known weights directory). Absent weights
+    cost ~0 s and record the watch status in the artifact."""
+    import subprocess
+
+    ckpt = _find_real_checkpoint()
+    if ckpt is None:
+        return {"status": "no checkpoint on disk (watched: "
+                          "DPB_REAL_CHECKPOINT, /root/weights, "
+                          "/root/checkpoints, repo weights/, HF cache)"}
+    proc = subprocess.run(
+        ["bash", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "parity_real_weights.sh"), ckpt],
+        capture_output=True, text=True, timeout=3600,
+    )
+    ok = proc.returncode == 0 and "PARITY OK" in proc.stdout
+    return {
+        "status": "PARITY OK" if ok else f"FAILED rc={proc.returncode}",
+        "checkpoint": ckpt,
+        "tail": (proc.stdout + proc.stderr)[-500:],
+    }
+
+
 def main(full=False):
     """Full matrix. Configs run in BASELINE order; a section is admitted
     only if the elapsed time plus its estimated cost (persisted from prior
@@ -1318,6 +1400,7 @@ def main(full=False):
         ("config5_proxy", bench_sdxl_proxy),  # r=2×3 continuity number
         ("sd_sampling", bench_sd_sampling),
         ("mesh", bench_mesh_pullback),
+        ("real_parity", bench_real_parity),
     ]
     takes_full = {"config1", "config2", "config3", "config4", "sd_e2e"}
     out = {}
@@ -1340,6 +1423,9 @@ def main(full=False):
             out[name] = {"skipped": f"budget: {int(elapsed)}s elapsed + "
                                     f"est {int(est)}s > "
                                     f"{int(MATRIX_DEADLINE_SECONDS)}s"}
+            print(f"[bench +{int(elapsed)}s] {name} SKIPPED "
+                  f"(est {int(est)}s over budget)", file=sys.stderr,
+                  flush=True)
             continue
         if name == "mesh" and len(jax.devices()) == 1:
             out[name] = {"skipped": "1 device (mesh needs >1; "

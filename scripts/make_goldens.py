@@ -80,11 +80,107 @@ def compute_config1_artifacts():
     }
 
 
+def synth_params(init_fn):
+    """Deterministic parameters from SHAPES only (jax.eval_shape), skipping
+    the real flax init: on a 1-core CI host even the tiny smoke model's
+    eager/jitted init costs ~31 s of Python dispatch / XLA compile, while
+    eval_shape is 0.4 s. Leaves are seeded per parameter path (crc32 of the
+    key string) so the values are platform- and order-independent; kernels
+    get LeCun-ish fan-in scaling, 1-D leaves (norm scales/biases) get
+    1 + 0.05·N / 0.05·N so activations stay well-conditioned."""
+    import zlib
+
+    shapes = jax.eval_shape(init_fn)
+    flat = jax.tree_util.tree_flatten_with_path(shapes)
+    leaves = []
+    for path, aval in flat[0]:
+        key = jax.tree_util.keystr(path)
+        rng = np.random.RandomState(zlib.crc32(key.encode()) & 0x7FFFFFFF)
+        noise = rng.standard_normal(aval.shape).astype(np.float32)
+        if aval.ndim <= 1:
+            base = 1.0 if key.rsplit("'", 2)[-2:-1] == ["scale"] else 0.0
+            leaf = base + 0.05 * noise
+        else:
+            fan_in = int(np.prod(aval.shape[:-1]))
+            leaf = noise / np.sqrt(max(fan_in, 1))
+        leaves.append(jnp.asarray(leaf, aval.dtype))
+    return jax.tree_util.tree_unflatten(flat[1], leaves)
+
+
+def compute_config1_smoke_artifacts():
+    """Reduced config-1 pipeline for the FAST gate (VERDICT r4 item 5): the
+    same invert → pullback → guidance-walk → finish structure on a tiny
+    U-Net (32px, 8-step grid, r=4×3) so the default (-m 'not slow') suite
+    exercises the edit path end-to-end in seconds, not minutes. Gates are
+    identical to the full golden (σ rtol, subspace cos, PSNR)."""
+    from diffusion_pullback_tpu.geometry import local_pullback
+    from diffusion_pullback_tpu.models import TapPoint, UNet2D
+    from diffusion_pullback_tpu.models.configs import ddpm_tiny
+    from diffusion_pullback_tpu.ops import DiffusionSchedule, ddim_timestep_grid
+    from diffusion_pullback_tpu.samplers import ddim_forward, x_space_guidance_scan
+    from diffusion_pullback_tpu.samplers.ddim_loop import ddim_invert
+
+    model = UNet2D(ddpm_tiny(32))
+    sched = DiffusionSchedule.linear()
+    x0 = jax.random.normal(jax.random.key(1), (1, 32, 32, 3), jnp.float32)
+    grid8 = ddim_timestep_grid(8)
+    edit_idx = 2  # ~0.7T on the 8-grid
+    t_edit = grid8.timesteps[edit_idx]
+    params = synth_params(lambda: model.init(jax.random.key(0), x0, t_edit))
+
+    # stages are jitted SEPARATELY: one fused program traces the U-Net ~6x
+    # into a single XLA module and CPU compile goes superlinear (>100 s);
+    # four small programs keep the fast gate under a minute
+    eps_of = lambda p: (lambda q, t: model.apply(p, q, t))
+
+    @jax.jit
+    def invert_stage(p, z):
+        eps = eps_of(p)
+        xT = ddim_invert(eps, z, sched, grid8)
+        return ddim_forward(eps, xT, sched, grid8, end_idx=edit_idx)
+
+    @jax.jit
+    def pull_stage(p, xt, k):
+        return local_pullback(
+            lambda zz: model.apply(p, zz, t_edit, TapPoint("mid", 0),
+                                   method=UNet2D.encode),
+            xt, k, pca_rank=4, min_iter=3, max_iter=3, atol=0.0,
+        )
+
+    @jax.jit
+    def edit_stage(p, xt, vk):
+        eps = eps_of(p)
+        traj = x_space_guidance_scan(
+            eps, xt, t_edit, vk, num_steps=4, edit_step=0.1, scale=0.1,
+        )
+        return ddim_forward(eps, traj[-1], sched, grid8, start_idx=edit_idx)
+
+    xt = invert_stage(params, x0)
+    res = pull_stage(params, xt, jax.random.key(2))
+    vk = res.vT[0].reshape(1, 32, 32, 3)
+    x0_edit = edit_stage(params, xt, vk)
+    img = np.asarray(jnp.clip(x0_edit * 0.5 + 0.5, 0.0, 1.0), np.float32)
+    return {
+        "u_norms": np.asarray(jnp.linalg.norm(res.u, axis=0), np.float32),
+        "s": np.asarray(res.s, np.float32),
+        "vT": np.asarray(res.vT, np.float32),
+        "edit": img,
+    }
+
+
 def main():
     _force_cpu()
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tests", "goldens")
     os.makedirs(out_dir, exist_ok=True)
+    smoke = compute_config1_smoke_artifacts()
+    np.savez(os.path.join(out_dir, "config1_smoke_basis.npz"),
+             u_norms=smoke["u_norms"], s=smoke["s"], vT=smoke["vT"])
+    np.save(os.path.join(out_dir, "config1_smoke_edit.npy"), smoke["edit"])
+    if "--smoke-only" in sys.argv:
+        print("smoke goldens written to", out_dir)
+        print("smoke s:", smoke["s"].round(4))
+        return
     art = compute_config1_artifacts()
     np.savez(os.path.join(out_dir, "config1_basis.npz"),
              u_norms=art["u_norms"], s=art["s"], vT=art["vT"])

@@ -25,7 +25,10 @@ def test_model_for_name_routing():
     m = model_for_name("FFHQ_P2")
     assert isinstance(m, UNetADM) and m.config.use_scale_shift_norm
     m = model_for_name("LSUN_cat")
-    assert isinstance(m, UNetADM) and not m.config.use_scale_shift_norm
+    # LSUN_DICT (guided_diffusion/script_util.py:140-164): scale-shift norm
+    # ON, attention at res 32/16/8 → downsample factors (8, 16, 32)
+    assert isinstance(m, UNetADM) and m.config.use_scale_shift_norm
+    assert m.config.attention_resolutions == (8, 16, 32)
     assert model_for_name("CIFAR10").config.image_size == 32
     with pytest.raises(ValueError, match="unknown uncond model_name"):
         model_for_name("WAT")

@@ -37,16 +37,11 @@ def principal_cosines(A, B):
     return np.linalg.svd(qa.T @ qb, compute_uv=False)
 
 
-@pytest.mark.slow
-def test_config1_golden_regression():
-    basis_path = os.path.join(GOLDEN_DIR, "config1_basis.npz")
-    edit_path = os.path.join(GOLDEN_DIR, "config1_edit.npy")
+def _assert_golden_match(art, basis_path, edit_path):
+    """The shared acceptance gates (SURVEY §7): σ rtol 1e-3, per-σ-gap-group
+    subspace cosines ≥ 0.99, edited-image PSNR ≥ 35 dB."""
     assert os.path.exists(basis_path) and os.path.exists(edit_path), (
         "goldens missing — run scripts/make_goldens.py")
-
-    from scripts.make_goldens import compute_config1_artifacts
-
-    art = compute_config1_artifacts()
     ref = np.load(basis_path)
     ref_edit = np.load(edit_path)
 
@@ -64,3 +59,30 @@ def test_config1_golden_regression():
     mse = float(np.mean((art["edit"] - ref_edit) ** 2))
     psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
     assert psnr >= 35.0, f"edited image drifted: PSNR {psnr:.1f} dB"
+
+
+def test_config1_smoke_golden():
+    """FAST-gate e2e smoke (VERDICT r4 item 5): the reduced config-1
+    pipeline — invert → pullback → guidance walk → finish on a tiny U-Net —
+    against stored goldens, same gates as the full regression. Runs in the
+    default (-m 'not slow') loop."""
+    from scripts.make_goldens import compute_config1_smoke_artifacts
+
+    art = compute_config1_smoke_artifacts()
+    _assert_golden_match(
+        art,
+        os.path.join(GOLDEN_DIR, "config1_smoke_basis.npz"),
+        os.path.join(GOLDEN_DIR, "config1_smoke_edit.npy"),
+    )
+
+
+@pytest.mark.slow
+def test_config1_golden_regression():
+    from scripts.make_goldens import compute_config1_artifacts
+
+    art = compute_config1_artifacts()
+    _assert_golden_match(
+        art,
+        os.path.join(GOLDEN_DIR, "config1_basis.npz"),
+        os.path.join(GOLDEN_DIR, "config1_edit.npy"),
+    )
