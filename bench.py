@@ -138,6 +138,27 @@ def _prod_dtype() -> str:
     return "float32" if jax.devices()[0].platform == "cpu" else "bfloat16"
 
 
+_AOT_CACHE = None
+
+
+def _aot_jit(name: str, fn, fingerprint: str = ""):
+    """jit with AOT export caching (utils/aot.py): a later bench process —
+    the driver's — deserializes the traced program instead of re-tracing
+    (~50-90 s per SD/SDXL-scale program on this 1-core host; r5 probe).
+    ``fingerprint`` must digest every closure-baked constant (dtype, rank,
+    iters, cfg scale, tap, remat) — same contract as experiments/_common.
+    Falls back to plain jit on CPU or under DPB_BENCH_NO_AOT=1."""
+    global _AOT_CACHE
+    if (os.environ.get("DPB_BENCH_NO_AOT")
+            or jax.devices()[0].platform == "cpu"):
+        return jax.jit(fn)
+    if _AOT_CACHE is None:
+        from diffusion_pullback_tpu.utils.aot import AOTProgramCache
+
+        _AOT_CACHE = AOTProgramCache()
+    return _AOT_CACHE.wrap(name, fn, fingerprint=fingerprint)
+
+
 def _w(params, dtype: str):
     """Production parameter STORAGE for a measurement at `dtype`
     (--weights_dtype auto follows --dtype, utils/config.py:301-305; cast
@@ -184,6 +205,89 @@ def _try_flops(fn, *args, **kwargs):
         return None
 
 
+# ---- persisted FLOP cache ---------------------------------------------------
+# The MFU fits lower (and compile) 2-4 loop-free component programs per
+# section — ~90 s of an SD section's wall even on a warm compile cache
+# (probe r5: 89 s of config3's 318 s). FLOPs are pure functions of (program,
+# shapes, code), so the fits are persisted keyed by an explicit program key +
+# the package code salt (utils/aot.code_salt(): any model/op source edit
+# invalidates). Values are either a scalar (compiled_flops) or the
+# rank/iter-independent (fwd, bwd) affine fits (flops_util.pullback_fits).
+
+_FLOPS_CACHE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache",
+    "flops_cache.json")
+
+
+def _flops_salt() -> str:
+    from diffusion_pullback_tpu.utils.aot import code_salt
+
+    return code_salt()
+
+
+def _flops_cache_get(key: str):
+    if os.environ.get("DPB_BENCH_NO_MFU"):
+        return None
+    try:
+        with open(_FLOPS_CACHE_PATH) as f:
+            ent = json.load(f).get(key)
+        if ent and ent.get("salt") == _flops_salt():
+            return ent["value"]
+    except Exception:
+        pass
+    return None
+
+
+def _flops_cache_put(key: str, value) -> None:
+    try:
+        try:
+            with open(_FLOPS_CACHE_PATH) as f:
+                d = json.load(f)
+        except Exception:
+            d = {}
+        d[key] = {"salt": _flops_salt(), "value": value}
+        os.makedirs(os.path.dirname(_FLOPS_CACHE_PATH), exist_ok=True)
+        tmp = _FLOPS_CACHE_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(d, f, indent=1, sort_keys=True)
+            f.write("\n")
+        os.replace(tmp, _FLOPS_CACHE_PATH)
+    except Exception as e:
+        print(f"[bench] flops cache persist failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+
+
+def _cached_compiled_flops(key: str, fn, *args):
+    """compiled_flops with a persistent cache (see block comment above)."""
+    v = _flops_cache_get(key)
+    if isinstance(v, (int, float)):
+        return float(v)
+    v = _try_flops(flops_util.compiled_flops, fn, *args)
+    if v:
+        _flops_cache_put(key, float(v))
+    return v
+
+
+def _cached_pullback_flops(key: str, fn, params, x, pca_rank, iters,
+                           fn_vjp=None):
+    """pullback_flops with the (fwd, bwd) fits persisted — rank/iteration
+    independent, so config5_proxy reuses config5's SDXL-scale fits."""
+    fits = _flops_cache_get(key)
+    if (isinstance(fits, (list, tuple)) and len(fits) == 2
+            and all(isinstance(h, (list, tuple)) and len(h) == 2
+                    for h in fits)):
+        fits = tuple(tuple(float(u) for u in h) for h in fits)
+    else:
+        fits = _try_flops(flops_util.pullback_fits, fn, params, x,
+                          fn_vjp=fn_vjp)
+        if fits is not None:
+            _flops_cache_put(key, [list(h) for h in fits])
+    if fits is None:
+        return None
+    return flops_util.pullback_flops_from_fits(
+        fits, pca_rank, iters, uses_fn_vjp=fn_vjp is not None)
+
+
 def bench_config1(full=False):
     """BASELINE config 1: CelebA-HQ-256 DDPM mid-block top-1 PC (r=8,
     5 power iters) + 16-step x-space-guidance + 20-step DDIM edit, measured
@@ -218,18 +322,22 @@ def bench_config1(full=False):
         eps_of = lambda p: (
             lambda z, t: model.apply(p, z, t).astype(jnp.float32))
 
-        fwd = jax.jit(lambda p, z: ddim_forward(eps_of(p), z, sched, grid100))
+        fwd = _aot_jit(f"bench_c1_fwd_{dtype}",
+                       lambda p, z: ddim_forward(eps_of(p), z, sched, grid100),
+                       fingerprint=f"{dtype}:steps100")
         _sync(fwd(p_in, x))  # compile
         t0 = time.perf_counter()
         _sync(fwd(p_in, x))
         ddim_sec = time.perf_counter() - t0
 
-        pull = jax.jit(
+        pull = _aot_jit(
+            f"bench_c1_pull_{dtype}",
             lambda p, z, k: local_pullback(
                 lambda zz: model.apply(p, zz, t_edit, tap,
                                        method=UNet2D.encode),
                 z, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS, atol=0.0,
-            )
+            ),
+            fingerprint=f"{dtype}:mid0:r{RANK}i{ITERS}:t699.3",
         )
         _sync(pull(p_in, x, jax.random.key(2)))  # compile
         t0 = time.perf_counter()
@@ -248,7 +356,8 @@ def bench_config1(full=False):
             return ddim_forward(eps_fn, traj[-1], sched, grid20,
                                 start_idx=edit_t_idx)
 
-        edit_jit = jax.jit(edit)
+        edit_jit = _aot_jit(f"bench_c1_edit_{dtype}", edit,
+                            fingerprint=f"{dtype}:16x0.1:grid20@6")
         _sync(edit_jit(p_in, x, vk))  # compile
         t0 = time.perf_counter()
         _sync(edit_jit(p_in, x, vk))
@@ -311,13 +420,13 @@ def bench_config1(full=False):
     model = UNet2D(cfg_f32)
     enc_fn = lambda p, zz: model.apply(p, zz, t_edit, tap,
                                        method=UNet2D.encode)
-    pb_flops = _try_flops(
-        flops_util.pullback_flops, enc_fn, params, x, RANK, ITERS)
-    eps_flops = _try_flops(
-        flops_util.compiled_flops, lambda p, zz: model.apply(p, zz, t_edit),
+    pb_flops = _cached_pullback_flops(
+        "config1_pullback_mid0_256", enc_fn, params, x, RANK, ITERS)
+    eps_flops = _cached_compiled_flops(
+        "config1_eps_b1_256", lambda p, zz: model.apply(p, zz, t_edit),
         params, x)
-    eps2_flops = _try_flops(
-        flops_util.compiled_flops, lambda p, zz: model.apply(p, zz, t_edit),
+    eps2_flops = _cached_compiled_flops(
+        "config1_eps_b2_256", lambda p, zz: model.apply(p, zz, t_edit),
         params, jnp.concatenate([x, x], axis=0))
     # the finish scan runs len(timesteps[start:]) = num_steps-1-start evals
     edit_flops = (16 * eps2_flops
@@ -359,12 +468,14 @@ def bench_config2(full=False):
     keys = jax.random.split(jax.random.key(2), N_SAMPLES * len(t_vals))
 
     def pull_for(model, tap):
-        return jax.jit(
+        return _aot_jit(
+            f"bench_c2_pull_{tap.op}{tap.block_idx}_{model.config.dtype}",
             lambda p, x1, t1, k1: local_pullback(
                 lambda zz: model.apply(p, zz, t1, tap, method=UNet2D.encode),
                 x1, k1, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS,
                 atol=0.0,
-            )
+            ),
+            fingerprint=f"r{RANK}i{ITERS}",
         )
 
     def time_dispatch(runners, p, xs_in):
@@ -483,8 +594,8 @@ def bench_config2(full=False):
     model = UNet2D(cfg)
     flops = 0.0
     for tap in taps:
-        f = _try_flops(
-            flops_util.pullback_flops,
+        f = _cached_pullback_flops(
+            f"config2_pullback_{tap.op}{tap.block_idx}_256",
             lambda p, zz, tp=tap: model.apply(
                 p, zz, t_vals[0], tp, method=UNet2D.encode),
             params, xs[0], RANK, ITERS)
@@ -498,6 +609,10 @@ def bench_config2(full=False):
     return out
 
 
+_SD_PARAMS_MEMO: dict = {}
+_SD_PULL_MEMO: dict = {}
+
+
 def _sd_setup(cfg_scale: float, attn: str = "flash", dtype: str = "float32"):
     """Shared SD 2.1-base rig for configs 3/4: fused flash kernel pair on
     the differentiated encoder (measured 0.59 s xla → 0.38 s one v5e chip);
@@ -506,7 +621,9 @@ def _sd_setup(cfg_scale: float, attn: str = "flash", dtype: str = "float32"):
     docs/compile_helper_faults.md). dtype="bfloat16" measures the
     production path (--dtype auto on accelerators), with parameter storage
     at the matching --weights_dtype (bf16 weights halve HBM weight reads
-    at the batch-1/2 shapes these configs run)."""
+    at the batch-1/2 shapes these configs run). Params are memoized per
+    dtype — configs 3/4/sd_e2e share one init + cast (the matrix runs them
+    in one process; r5 probe: ~17 s per duplicated init)."""
     import dataclasses
 
     from diffusion_pullback_tpu.models import UNet2DCondition, sd21_base_unet
@@ -520,9 +637,12 @@ def _sd_setup(cfg_scale: float, attn: str = "flash", dtype: str = "float32"):
     ctx = jax.random.normal(jax.random.key(1), (1, 77, 1024), jnp.float32)
     neg = jax.random.normal(jax.random.key(5), (1, 77, 1024), jnp.float32)
     t = jnp.float32(699.3)
-    params = _w(jax.jit(
-        lambda k: UNet2DCondition(cfg).init(k, z, t, ctx)
-    )(jax.random.key(2)), dtype)
+    params = _SD_PARAMS_MEMO.get(dtype)
+    if params is None:
+        params = _w(jax.jit(
+            lambda k: UNet2DCondition(cfg).init(k, z, t, ctx)
+        )(jax.random.key(2)), dtype)
+        _SD_PARAMS_MEMO[dtype] = params
 
     tap = TapPoint("mid", 0)
     enc = lambda u: (lambda p, q, c: u.apply(p, q, t, c, tap, method=U.encode))
@@ -549,25 +669,36 @@ def _sd_setup(cfg_scale: float, attn: str = "flash", dtype: str = "float32"):
 
 def _sd_pullback(cfg_scale: float, attn: str = "flash",
                  dtype: str = "float32"):
+    """Memoized per (cfg_scale, attn, dtype): sd_e2e reuses config3's
+    measurement of the IDENTICAL program instead of re-tracing and
+    re-timing it (~250 s of r5b's sd_e2e section was this duplication)."""
+    memo_key = (cfg_scale, attn, dtype)
+    if memo_key in _SD_PULL_MEMO:
+        return _SD_PULL_MEMO[memo_key]
     params, z, ctx, e_jvp, e_vjp = _sd_setup(cfg_scale, attn=attn,
                                              dtype=dtype)
     RANK, ITERS = 8, 5
-    pull = jax.jit(
+    pull = _aot_jit(
+        f"bench_sd_pull_cfg{cfg_scale}_{attn}_{dtype}",
         lambda p, zz, c, k: local_pullback(
             lambda q: e_jvp(p, q, c),
             zz, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS, atol=0.0,
             fn_vjp=lambda q: e_vjp(p, q, c),
-        )
+        ),
+        fingerprint=f"r{RANK}i{ITERS}:t699.3",
     )
     _sync(pull(params, z, ctx, jax.random.key(3)))
     t0 = time.perf_counter()
     res = pull(params, z, ctx, jax.random.key(3))
     _sync(res)
     sec = time.perf_counter() - t0
-    flops = _try_flops(
-        flops_util.pullback_flops, lambda p, q: e_jvp(p, q, ctx),
+    flops = _cached_pullback_flops(
+        f"sd21_pullback_cfg{cfg_scale}_{attn}",
+        lambda p, q: e_jvp(p, q, ctx),
         params, z, RANK, ITERS, fn_vjp=lambda p, q: e_vjp(p, q, ctx))
-    return params, z, ctx, res, sec, RANK, ITERS, flops
+    out = (params, z, ctx, res, sec, RANK, ITERS, flops)
+    _SD_PULL_MEMO[memo_key] = out
+    return out
 
 
 def _bf16_variant_sec(measure):
@@ -688,8 +819,10 @@ def bench_sd_sampling():
     from diffusion_pullback_tpu.models.convert import cast_f32_to_bf16
     bf16_params = jax.jit(cast_f32_to_bf16)(params)
 
-    def run(u, p, zz, c):
-        f = jax.jit(lambda p, zz, c: u.apply(p, zz, t, c))
+    def run(u, p, zz, c, tag=""):
+        f = _aot_jit(f"bench_sdsamp_{tag or u.config.attn_impl}",
+                     lambda p, zz, c: u.apply(p, zz, t, c),
+                     fingerprint="t699.3:b2")
         _sync(f(p, zz, c))
         n = 20
         t0 = time.perf_counter()
@@ -701,19 +834,19 @@ def bench_sd_sampling():
     res = {}
     for impl in ("flash", "xla"):
         u = UNet2DCondition(dataclasses.replace(cfg, attn_impl=impl))
-        res[impl] = run(u, params, z, ctx)
+        res[impl] = run(u, params, z, ctx, tag=f"{impl}_f32")
     # product default since r3: bf16 compute (--dtype auto) + bf16 parameter
     # storage (--weights_dtype auto); the w_f32 variant isolates the pure
     # HBM-weight-traffic saving the --weights_dtype flag buys
     ub = UNet2DCondition(dataclasses.replace(
         cfg, attn_impl="flash", dtype="bfloat16"))
     zb, cb = z.astype(jnp.bfloat16), ctx.astype(jnp.bfloat16)
-    res["bf16"] = run(ub, bf16_params, zb, cb)
-    res["bf16_w_f32"] = run(ub, params, zb, cb)
+    res["bf16"] = run(ub, bf16_params, zb, cb, tag="flash_bf16")
+    res["bf16_w_f32"] = run(ub, params, zb, cb, tag="flash_bf16_wf32")
     # MFU of the bf16 production path (cost analysis counts the same MACs
     # regardless of dtype; the bf16 row is the one racing the MXU peak)
-    step_flops = _try_flops(
-        flops_util.compiled_flops,
+    step_flops = _cached_compiled_flops(
+        "sd21_eps_b2_bf16_flash",
         lambda p, zz, c: ub.apply(p, zz, t, c), bf16_params, zb, cb)
     out = {
         "metric": "sd21_unet_fwd_flash",
@@ -763,7 +896,8 @@ def bench_sd_pullback(full=False):
             return ddim_forward(eps, traj[-1], sched, grid50,
                                 start_idx=edit_idx)
 
-        edit_jit = jax.jit(edit)
+        edit_jit = _aot_jit(f"bench_sde2e_edit_{model.config.dtype}", edit,
+                            fingerprint="16x1.0:grid50@15")
         _sync(edit_jit(p, ctx, z, vk))
         t0 = time.perf_counter()
         _sync(edit_jit(p, ctx, z, vk))
@@ -798,12 +932,12 @@ def bench_sd_pullback(full=False):
 
     e2e = sec + edit_sec
 
-    eps1 = _try_flops(
-        flops_util.compiled_flops,
+    eps1 = _cached_compiled_flops(
+        "sd21_eps_b1",
         lambda p, q, c: unet.apply(p, q, grid50.timesteps[edit_idx], c),
         params, z, ctx)
-    eps2 = _try_flops(
-        flops_util.compiled_flops,
+    eps2 = _cached_compiled_flops(
+        "sd21_eps_b2",
         lambda p, q, c: unet.apply(p, q, grid50.timesteps[edit_idx], c),
         params, jnp.concatenate([z, z], axis=0),
         jnp.concatenate([ctx, ctx], axis=0))
@@ -869,13 +1003,16 @@ def bench_sdxl_pullback(rank=8, iters=5, chunk=2, with_mfu=True, remat=True):
     enc = lambda u: (lambda p, q, c: u.apply(
         p, q, t, c, tap, added_cond=added, method=U.encode))
     e_jvp, e_vjp = enc(unet_jvp), enc(unet_vjp)
-    pull = jax.jit(
+    pull = _aot_jit(
+        f"bench_sdxl_pull_r{RANK}i{ITERS}c{min(chunk, RANK)}"
+        f"{'_remat' if remat else ''}",
         lambda p, zz, c, k: local_pullback(
             lambda q: e_jvp(p, q, c),
             zz, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS, atol=0.0,
             chunk_size=min(chunk, RANK), remat=remat,
             fn_vjp=lambda q: e_vjp(p, q, c),
-        )
+        ),
+        fingerprint="t699.3:bf16",
     )
     _sync(pull(params, z, ctx, jax.random.key(4)))
     t0 = time.perf_counter()
@@ -894,8 +1031,11 @@ def bench_sdxl_pullback(rank=8, iters=5, chunk=2, with_mfu=True, remat=True):
         "attn": "flash_jvp/flash pair",
     }
     if with_mfu:
-        flops = _try_flops(
-            flops_util.pullback_flops, lambda p, q: e_jvp(p, q, ctx),
+        # fits are rank/iter-independent: config5_proxy (r=2×3) reuses the
+        # spec run's SDXL-scale fits from the persisted cache
+        flops = _cached_pullback_flops(
+            f"sdxl1024_pullback_mid0_remat{int(remat)}",
+            lambda p, q: e_jvp(p, q, ctx),
             params, z, RANK, ITERS, fn_vjp=lambda p, q: e_vjp(p, q, ctx))
         out.update(_mfu(flops, sec))
     return out

@@ -52,6 +52,12 @@ def _code_salt() -> str:
     return _SALT
 
 
+def code_salt() -> str:
+    """Public alias: the package-source salt (also used by bench.py to key
+    the persisted FLOP-fit cache — FLOPs only change when code does)."""
+    return _code_salt()
+
+
 def default_export_dir() -> str:
     return os.path.join(os.path.dirname(_PKG_DIR), ".jax_cache", "exports")
 

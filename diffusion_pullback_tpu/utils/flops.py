@@ -146,6 +146,39 @@ def transpose_pass_flops(
     return max(primal, 0.0), max(cotangent, 0.0)
 
 
+def pullback_fits(
+    fn: ModelFn,
+    params: Any,
+    x: jax.Array,
+    fn_vjp: Optional[ModelFn] = None,
+) -> Optional[Tuple[Tuple[float, float], Tuple[float, float]]]:
+    """The (fwd, bwd) affine fits of the pullback loop body — the expensive
+    half of `pullback_flops` (four SD/SDXL-scale lowers). Rank/iteration
+    independent, so callers can persist the fits and recompute totals for
+    any (pca_rank, iters) via `pullback_flops_from_fits` (bench.py caches
+    these in .jax_cache/flops_cache.json keyed by program + code salt)."""
+    fwd = linearized_pass_flops(fn, params, x)
+    bwd = transpose_pass_flops(fn, params, x, fn_vjp=fn_vjp)
+    if fwd is None or bwd is None:
+        return None
+    return fwd, bwd
+
+
+def pullback_flops_from_fits(
+    fits: Tuple[Tuple[float, float], Tuple[float, float]],
+    pca_rank: int,
+    iters: int,
+    uses_fn_vjp: bool,
+) -> float:
+    """Total pullback FLOPs from precomputed `pullback_fits`: one linearize
+    primal (+ one vjp primal when a separate fn_vjp is used), iters·rank
+    tangent + iters·rank cotangent passes, plus the final rank tangent
+    passes for u. The r×r SVD/QR is negligible and excluded."""
+    (p_fwd, f_tan), (p_bwd, f_cot) = fits
+    primal = p_fwd + (p_bwd if uses_fn_vjp else 0.0)
+    return primal + iters * pca_rank * (f_tan + f_cot) + pca_rank * f_tan
+
+
 def pullback_flops(
     fn: ModelFn,
     params: Any,
@@ -155,17 +188,12 @@ def pullback_flops(
     fn_vjp: Optional[ModelFn] = None,
 ) -> Optional[float]:
     """Total FLOPs of one `geometry.local_pullback` run at fixed iteration
-    count: one linearize primal (+ one vjp primal when fn_vjp is used),
-    iters·rank tangent + iters·rank cotangent passes, plus the final rank
-    tangent passes for u. The r×r SVD/QR is negligible and excluded."""
-    fwd = linearized_pass_flops(fn, params, x)
-    bwd = transpose_pass_flops(fn, params, x, fn_vjp=fn_vjp)
-    if fwd is None or bwd is None:
+    count (see `pullback_flops_from_fits` for the formula)."""
+    fits = pullback_fits(fn, params, x, fn_vjp=fn_vjp)
+    if fits is None:
         return None
-    p_fwd, f_tan = fwd
-    p_bwd, f_cot = bwd
-    primal = p_fwd + (p_bwd if fn_vjp is not None else 0.0)
-    return primal + iters * pca_rank * (f_tan + f_cot) + pca_rank * f_tan
+    return pullback_flops_from_fits(fits, pca_rank, iters,
+                                    uses_fn_vjp=fn_vjp is not None)
 
 
 def mfu_fields(flops: Optional[float], seconds: float) -> dict:

@@ -126,3 +126,63 @@ def test_main_budget_skips_and_lands_lines(bench, capsys, monkeypatch):
     top = json.loads(lines[-1])
     assert top["config1"]["value"] == 0.5
     assert "est 1250s" in top["s2"]["skipped"]
+
+
+@pytest.fixture()
+def bench_flops(bench, tmp_path):
+    bench._FLOPS_CACHE_PATH = str(tmp_path / "flops_cache.json")
+    return bench
+
+
+def test_flops_scalar_cache_hits_without_recompute(bench_flops):
+    """Second lookup of a compiled_flops key must come from the persisted
+    cache — the fits cost ~90 s per SD section on the real matrix."""
+    import jax.numpy as jnp
+
+    bench = bench_flops
+    calls = []
+
+    def f(a, b):
+        calls.append(1)
+        return a @ b
+
+    x = jnp.ones((16, 16))
+    v1 = bench._cached_compiled_flops("k1", f, x, x)
+    n_after_first = len(calls)
+    v2 = bench._cached_compiled_flops("k1", f, x, x)
+    assert v1 == v2 and v1 and len(calls) == n_after_first  # no re-trace
+    with open(bench._FLOPS_CACHE_PATH) as fh:
+        assert "k1" in json.load(fh)
+
+
+def test_flops_fit_cache_reused_across_rank_iters(bench_flops):
+    """config5_proxy (r=2×3) must reuse the spec run's (r=8×5) persisted
+    fits: same key, different totals recomputed from the affine fit."""
+    import jax.numpy as jnp
+
+    bench = bench_flops
+    p = jnp.ones((16, 16))
+    x = jnp.ones((4, 16))
+    fn = lambda pp, q: (q @ pp).sum(axis=-1)
+    v85 = bench._cached_pullback_flops("pbk", fn, p, x, 8, 5)
+    # poison the compute path: a hit must not lower anything
+    import diffusion_pullback_tpu.utils.flops as fu
+    orig = fu.pullback_fits
+    fu.pullback_fits = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("fit recomputed on what should be a cache hit"))
+    try:
+        v23 = bench._cached_pullback_flops("pbk", fn, p, x, 2, 3)
+        v85b = bench._cached_pullback_flops("pbk", fn, p, x, 8, 5)
+    finally:
+        fu.pullback_fits = orig
+    assert v85 == v85b and v85 > v23 > 0
+
+
+def test_flops_cache_invalidated_by_salt(bench_flops, monkeypatch):
+    import jax.numpy as jnp
+
+    bench = bench_flops
+    x = jnp.ones((8, 8))
+    assert bench._cached_compiled_flops("k2", lambda a: a @ a, x)
+    monkeypatch.setattr(bench, "_flops_salt", lambda: "different-salt")
+    assert bench._flops_cache_get("k2") is None  # stale entry not served
