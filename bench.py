@@ -994,9 +994,17 @@ def bench_sdxl_pullback(rank=8, iters=5, chunk=2, with_mfu=True, remat=True):
     from diffusion_pullback_tpu.models.convert import (
         cast_f32_to_bf16 as to_bf16,
     )
-    params = jax.jit(
-        lambda k: to_bf16(unet_jvp.init(k, z, t, ctx, added_cond=added))
-    )(jax.random.key(3))
+    params = _SD_PARAMS_MEMO.get("sdxl")
+    if params is None:
+        # the SD 2.1 sections run first and their memos pin ~1.7G of params
+        # in HBM — release them before the 5.1G SDXL init + residuals land
+        # (the matrix never revisits SD sections after config5)
+        _SD_PARAMS_MEMO.clear()
+        _SD_PULL_MEMO.clear()
+        params = jax.jit(
+            lambda k: to_bf16(unet_jvp.init(k, z, t, ctx, added_cond=added))
+        )(jax.random.key(3))
+        _SD_PARAMS_MEMO["sdxl"] = params  # proxy/sweep rows share one init
 
     tap = TapPoint("mid", 0)
     RANK, ITERS = rank, iters
@@ -1329,24 +1337,36 @@ def bench_flash_tune(apply=False):
     ]
     out = {"metric": "flash_block_tune", "value": 0, "unit": "ms",
            "vs_baseline": 1.0}
-    def _sweep(s, make_fn, args):
+    # Differentiated kernels are runtime-clamped to block_q*block_k ≤ 512·1024
+    # inside composed programs (fa._DIFF_KERNEL_MAX_BLOCK_PRODUCT) — sweep the
+    # wide-block_k tilings that live UNDER that cap (the k-loop width is where
+    # the win is; r4 only ever measured the square grid, so the clamp demoted
+    # 1024x1024 winners to an unmeasured 512x1024). Square grid stays for the
+    # un-clamped fwd/fwd_lse kernels.
+    _SQUARE_GRID = tuple((bq, bk) for bq in (256, 512, 1024)
+                         for bk in (256, 512, 1024))
+    _DIFF_GRID = _SQUARE_GRID + tuple(
+        (bq, bk) for bq in (128, 256, 512) for bk in (1024, 2048, 4096)
+        if (bq, bk) not in _SQUARE_GRID
+        and bq * bk <= fa._DIFF_KERNEL_MAX_BLOCK_PRODUCT)
+
+    def _sweep(s, make_fn, args, grid=_SQUARE_GRID):
         rows = {}
-        for bq in (256, 512, 1024):
-            for bk in (256, 512, 1024):
-                if s % bq or s % bk or bq > s or bk > s:
-                    continue
-                try:
-                    f = jax.jit(make_fn(bq, bk))
-                    _sync(f(*args))
-                    n = 30
-                    t0 = time.perf_counter()
-                    for _ in range(n):
-                        o = f(*args)
-                    _sync(o)
-                    rows[f"{bq}x{bk}"] = round(
-                        (time.perf_counter() - t0) / n * 1e3, 4)
-                except Exception as e:
-                    rows[f"{bq}x{bk}"] = f"{type(e).__name__}"[:40]
+        for bq, bk in grid:
+            if s % bq or s % bk or bq > s or bk > s:
+                continue
+            try:
+                f = jax.jit(make_fn(bq, bk))
+                _sync(f(*args))
+                n = 30
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    o = f(*args)
+                _sync(o)
+                rows[f"{bq}x{bk}"] = round(
+                    (time.perf_counter() - t0) / n * 1e3, 4)
+            except Exception as e:
+                rows[f"{bq}x{bk}"] = f"{type(e).__name__}"[:40]
         timed = {kk: vv for kk, vv in rows.items() if isinstance(vv, float)}
         best = min(timed, key=timed.get) if timed else None
         return {"best": best, "ms": rows}
@@ -1370,13 +1390,13 @@ def bench_flash_tune(apply=False):
         out[label + "_bwd"] = _sweep(
             s, lambda bq, bk: (lambda q, k, v, o, do, lse: _flash_backward(
                 q, k, v, o, do, lse, sc, block_q=bq, block_k=bk)),
-            (q, k, v, o, do, lse))
+            (q, k, v, o, do, lse), grid=_DIFF_GRID)
         out[label + "_jvp"] = _sweep(
             s, lambda bq, bk: (
                 lambda q, k, v, dq, dk, dv, o, lse: _flash_tangent(
                     q, k, v, dq, dk, dv, o, lse, sc,
                     block_q=bq, block_k=bk)),
-            (q, k, v, dq, dk, dv, o, lse))
+            (q, k, v, dq, dk, dv, o, lse), grid=_DIFF_GRID)
     d512 = [v for v in out.values()
             if isinstance(v, dict) and isinstance(
                 v.get("ms", {}).get("512x512"), float)]
@@ -1391,6 +1411,15 @@ def bench_flash_tune(apply=False):
                                  ("_bwd", "bwd"), ("_jvp", "jvp")):
                 row = out.get(label + suffix, {})
                 ms, best = row.get("ms", {}), row.get("best")
+                if kind in fa._DIFF_KERNELS:
+                    # persist only tilings the runtime clamp will honor —
+                    # an over-cap entry would be silently demoted to an
+                    # unmeasured halving at use time
+                    in_cap = {kk: vv for kk, vv in ms.items()
+                              if isinstance(vv, float)
+                              and (int(kk.split("x")[0]) * int(kk.split("x")[1])
+                                   <= fa._DIFF_KERNEL_MAX_BLOCK_PRODUCT)}
+                    best = min(in_cap, key=in_cap.get) if in_cap else None
                 base = ms.get("512x512")
                 if (best and best != "512x512"
                         and isinstance(ms.get(best), float)
