@@ -1595,10 +1595,20 @@ def main(full=False):
             print(f"[bench +{int(elapsed)}s] {name} SKIPPED "
                   f"(est {int(est)}s over budget)", file=sys.stderr,
                   flush=True)
+            _emit(out)  # skip rows must land even if a later section hangs
             continue
         if name == "mesh" and len(jax.devices()) == 1:
             out[name] = {"skipped": "1 device (mesh needs >1; "
                                     "dryrun_multichip covers sharding)"}
+            continue
+        if (name == "config5_proxy"
+                and "skipped" in out.get("config5_single_chip", {})):
+            # the proxy's persisted cost assumes the spec run already paid
+            # the SDXL init/compiles in-process; standalone it runs COLD
+            # (r5a: est 150 s, actual >570 s — watchdog kill)
+            out[name] = {"skipped": "config5_single_chip skipped — proxy "
+                                    "would compile SDXL cold"}
+            _emit(out)
             continue
         # section progress on stderr: lets a tail of the log attribute a
         # stall to a section + compile, not a hang
