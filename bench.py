@@ -349,15 +349,19 @@ def bench_config1(full=False):
 
         def edit(p, z, v):
             eps_fn = eps_of(p)
+            # pair_impl='split': at 256px pixel space a 2-row eval pads the
+            # conv batch tile (4.3× a 1-row eval on v5e, probe 2026-08-20)
+            # — two batch-1 evals halve the walk; the CLI's --xsg_pair_impl
+            # auto resolves the same way for pixel-space models
             traj = x_space_guidance_scan(
                 eps_fn, z, grid20.timesteps[edit_t_idx], v,
-                num_steps=16, edit_step=0.1, scale=0.1,
+                num_steps=16, edit_step=0.1, scale=0.1, pair_impl="split",
             )
             return ddim_forward(eps_fn, traj[-1], sched, grid20,
                                 start_idx=edit_t_idx)
 
         edit_jit = _aot_jit(f"bench_c1_edit_{dtype}", edit,
-                            fingerprint=f"{dtype}:16x0.1:grid20@6")
+                            fingerprint=f"{dtype}:16x0.1:grid20@6:split")
         _sync(edit_jit(p_in, x, vk))  # compile
         t0 = time.perf_counter()
         _sync(edit_jit(p_in, x, vk))
@@ -966,7 +970,8 @@ def bench_sd_pullback(full=False):
     return out
 
 
-def bench_sdxl_pullback(rank=8, iters=5, chunk=2, with_mfu=True, remat=True):
+def bench_sdxl_pullback(rank=8, iters=5, chunk=8, with_mfu=True, remat=True,
+                        remat_outer=False):
     """BASELINE config 5, single chip, AT THE CLI SPEC: SDXL-base 1024px
     mid-tap pullback, top-8 PCs × 5 power iterations, bf16 random-init
     weights, probe chunking + remat (the single-chip memory recipe). The
@@ -975,7 +980,14 @@ def bench_sdxl_pullback(rank=8, iters=5, chunk=2, with_mfu=True, remat=True):
     config-5 spec additionally sweeps the whole t schedule on a v5e-8 mesh;
     the mesh path is dryrun-validated (parallel/sharded_pullback.py). The
     differentiated encoder runs the fused flash kernel pair (custom_jvp
-    tangent / custom_vjp backward): 1.51× over blockwise XLA here."""
+    tangent / custom_vjp backward): 1.51× over blockwise XLA here.
+
+    Default recipe = the r5 measured best of the (chunk ∈ {2,4,8}) ×
+    (remat structure) grid: full-rank chunk=8 with per-transformer-block
+    nn.remat only (``remat``), no whole-encoder jax.checkpoint
+    (``remat_outer``) — 3.36 s vs 5.13 s for the r4 chunk2+double-remat
+    recipe; every remat-off combination OOMs 16G HBM at SDXL scale
+    (probe scripts/probe_config5.py + /tmp/probe_c5_remat, 2026-08-20)."""
     import dataclasses
 
     from diffusion_pullback_tpu.models import UNet2DCondition, sdxl_base_unet
@@ -1013,11 +1025,11 @@ def bench_sdxl_pullback(rank=8, iters=5, chunk=2, with_mfu=True, remat=True):
     e_jvp, e_vjp = enc(unet_jvp), enc(unet_vjp)
     pull = _aot_jit(
         f"bench_sdxl_pull_r{RANK}i{ITERS}c{min(chunk, RANK)}"
-        f"{'_remat' if remat else ''}",
+        f"{'_remat' if remat else ''}{'_ro' if remat_outer else ''}",
         lambda p, zz, c, k: local_pullback(
             lambda q: e_jvp(p, q, c),
             zz, k, pca_rank=RANK, min_iter=ITERS, max_iter=ITERS, atol=0.0,
-            chunk_size=min(chunk, RANK), remat=remat,
+            chunk_size=min(chunk, RANK), remat=remat_outer,
             fn_vjp=lambda q: e_vjp(p, q, c),
         ),
         fingerprint="t699.3:bf16",
@@ -1042,7 +1054,7 @@ def bench_sdxl_pullback(rank=8, iters=5, chunk=2, with_mfu=True, remat=True):
         # fits are rank/iter-independent: config5_proxy (r=2×3) reuses the
         # spec run's SDXL-scale fits from the persisted cache
         flops = _cached_pullback_flops(
-            f"sdxl1024_pullback_mid0_remat{int(remat)}",
+            f"sdxl1024_pullback_mid0_remat{int(remat)}{int(remat_outer)}",
             lambda p, q: e_jvp(p, q, ctx),
             params, z, RANK, ITERS, fn_vjp=lambda p, q: e_vjp(p, q, ctx))
         out.update(_mfu(flops, sec))

@@ -730,6 +730,7 @@ class EditStableDiffusion(DriverCommonMixin, SDPCAMixin, SDHarvestMixin):
                 num_steps=cfg.x_space_guidance_num_step,
                 edit_step=cfg.x_space_guidance_edit_step,
                 scale=cfg.x_space_guidance_scale,
+                pair_impl=getattr(cfg, "xsg_pair_impl", "batch"),
             )
         tap = TapPoint("up", len(self.unet.config.up_block_types) - 2)
 

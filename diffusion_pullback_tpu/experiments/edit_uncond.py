@@ -579,6 +579,7 @@ class EditUncondDiffusion(DriverCommonMixin):
                 num_steps=cfg.x_space_guidance_num_step,
                 edit_step=cfg.x_space_guidance_edit_step,
                 scale=cfg.x_space_guidance_scale,
+                pair_impl=getattr(cfg, "xsg_pair_impl", "batch"),
             )                                   # (S+1, 1, H, W, C)
             sel = traj[::stride, 0]             # (vis, H, W, C)
             # post-edit regularizers in the reference's order (:1192-1198)

@@ -26,12 +26,31 @@ def x_space_guidance_step(
     vk: jax.Array,
     edit_step: float,
     scale: float,
+    pair_impl: str = "batch",
 ) -> jax.Array:
-    """One micro-step. ``z``/``vk``: (B, H, W, C)."""
+    """One micro-step. ``z``/``vk``: (B, H, W, C).
+
+    ``pair_impl`` picks how the (ε_null, ε_edit) pair is evaluated —
+    per-sample math is identical either way (GroupNorm/attention have no
+    cross-batch coupling), so this is a pure scheduling choice:
+
+    - ``'batch'``: one 2·B-row U-Net call, the reference's shape
+      (edit.py:484-502). Wins when the model is weight-bandwidth-bound
+      (small spatial dims, e.g. SD's 64×64 latent: 2-row eval ≈ 1.7× the
+      1-row cost, amortizing the HBM weight reads).
+    - ``'split'``: two B-row calls. Wins when a 2-row eval is padded to a
+      larger conv batch tile: at CelebA-HQ-256 pixel space on a v5e chip the
+      2-row eval measures 4.3× the 1-row cost (25.6 vs 5.9 ms, bf16 — probe
+      scripts/probe_edit_decomp.py, 2026-08-20), so split halves the walk.
+    """
     z_edit = z + edit_step * vk
-    pair = jnp.concatenate([z, z_edit], axis=0)
-    et = eps_fn(pair, t)
-    et_null, et_edit = jnp.split(et, 2, axis=0)
+    if pair_impl == "split":
+        et_null = eps_fn(z, t)
+        et_edit = eps_fn(z_edit, t)
+    else:
+        pair = jnp.concatenate([z, z_edit], axis=0)
+        et = eps_fn(pair, t)
+        et_null, et_edit = jnp.split(et, 2, axis=0)
     return z + scale * (et_edit - et_null)
 
 
@@ -43,6 +62,7 @@ def x_space_guidance_scan(
     num_steps: int,
     edit_step: float,
     scale: float,
+    pair_impl: str = "batch",
 ) -> jax.Array:
     """Run ``num_steps`` micro-steps; returns the trajectory INCLUDING the
     starting latent: (num_steps + 1, B, H, W, C) — matching the reference's
@@ -50,7 +70,8 @@ def x_space_guidance_scan(
     can subsample `traj[:: len // vis_num]` identically."""
 
     def body(z, _):
-        z_next = x_space_guidance_step(eps_fn, z, t, vk, edit_step, scale)
+        z_next = x_space_guidance_step(eps_fn, z, t, vk, edit_step, scale,
+                                       pair_impl=pair_impl)
         return z_next, z_next
 
     _, traj = jax.lax.scan(body, z0, None, length=num_steps)

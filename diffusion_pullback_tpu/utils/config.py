@@ -208,6 +208,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "a single accelerator chip")
     p.add_argument("--loop_chunk", type=int, default=8,
                    help="steps per fused program under --loop_impl chunk")
+    p.add_argument("--xsg_pair_impl", type=str, default="auto",
+                   choices=["auto", "batch", "split"],
+                   help="x-space-guidance (ε_null, ε_edit) evaluation: "
+                        "'batch'=one 2·B U-Net call (reference shape, wins "
+                        "when weight-bandwidth-bound: SD/SDXL latents), "
+                        "'split'=two B-row calls (wins when the 2-row conv "
+                        "batch is tile-padded: 2.1x faster at 256px pixel "
+                        "space on v5e), 'auto'=split for pixel-space "
+                        "models, batch for latent")
     p.add_argument("--matmul_precision", type=str, default="",
                    help="''=backend default, 'highest'=f32 passes")
     p.add_argument("--data_root", type=str, default="")
@@ -358,6 +367,14 @@ def preset(args):
         args.noise_schedule = "linear"
     if args.loop_impl == "auto":  # everywhere else the fused scan is best
         args.loop_impl = "scan"
+    if args.xsg_pair_impl == "auto":
+        # measured on v5e (scripts/probe_edit_decomp.py, 2026-08-20): at
+        # 256px pixel space the 2-row eval pads the conv batch tile and
+        # costs 4.3× a 1-row eval → split halves the walk; at SD's 64×64
+        # latent the 2-row eval is ~1.7× (weight reads amortize) → batch
+        args.xsg_pair_impl = (
+            "batch" if (args.is_stable_diffusion or args.is_sdxl)
+            else "split")
 
     # asserts (reference :224-231)
     assert args.use_yh_custom_scheduler

@@ -23,11 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/probe_c5_sweep.json"
 
 # measured-first order: the current default recipe goes first so a partial
-# sweep still reproduces the baseline number
+# sweep still reproduces the baseline number. r5 measured (2026-08-20):
+# chunk8+block-remat 3.36-3.49 s, chunk4 4.00 s, chunk2 5.13 s; every
+# remat=False row OOMs 16G HBM (linearize residuals at SDXL scale), and the
+# no-block-remat linearized program also compiles ~30 min — keep remat on.
 GRID = [
-    {"chunk": 2, "remat": True},   # r4 headline recipe (4.73 s)
+    {"chunk": 8, "remat": True},   # r5 headline recipe (3.36 s)
     {"chunk": 4, "remat": True},
-    {"chunk": 8, "remat": True},
+    {"chunk": 2, "remat": True},   # r4 headline recipe (4.73-5.13 s)
     {"chunk": 4, "remat": False},
     {"chunk": 2, "remat": False},
     {"chunk": 8, "remat": False},

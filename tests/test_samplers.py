@@ -117,6 +117,23 @@ def test_x_space_guidance_trajectory():
         )
 
 
+def test_x_space_guidance_split_matches_batch():
+    """pair_impl='split' (two B-row evals) is numerics-identical to the
+    reference-shaped 2·B batch eval — no cross-batch coupling in the model
+    (GroupNorm/attention are per-sample), so the walk trajectories match."""
+    _, _, eps_fn = _tiny_eps_fn()
+    z0 = jnp.asarray(
+        np.random.default_rng(6).normal(size=(1, 16, 16, 3)), jnp.float32)
+    vk = jnp.asarray(
+        np.random.default_rng(7).normal(size=(1, 16, 16, 3)), jnp.float32)
+    t = jnp.float32(321.0)
+    kw = dict(num_steps=4, edit_step=0.5, scale=0.1)
+    batch = x_space_guidance_scan(eps_fn, z0, t, vk, pair_impl="batch", **kw)
+    split = x_space_guidance_scan(eps_fn, z0, t, vk, pair_impl="split", **kw)
+    np.testing.assert_allclose(
+        np.asarray(split), np.asarray(batch), rtol=2e-5, atol=1e-6)
+
+
 def test_deepcache_interval_one_is_exact():
     """interval=1 refreshes every step → identical to the plain sampler."""
     from diffusion_pullback_tpu.samplers.deepcache import ddim_forward_deepcache
