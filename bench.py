@@ -184,6 +184,18 @@ def _sync(tree):
     return tree
 
 
+_T0 = time.perf_counter()
+
+
+def _stage(msg: str) -> None:
+    """Within-section progress on stderr. Section walls vary 1.5-2x run to
+    run through the compile relay (r5: config1 305 s then 494 s, same code,
+    warm caches); these lines let a driver log attribute a slow section to
+    the stage (init / compile / measure / mfu) instead of guessing."""
+    print(f"[bench +{int(time.perf_counter() - _T0)}s]   {msg}",
+          file=sys.stderr, flush=True)
+
+
 def _mfu(flops, sec):
     """MFU/TFLOP-s fields for a section (VERDICT r3 item 2). Gated by
     DPB_BENCH_NO_MFU=1 (the FLOP fits lower extra component programs —
@@ -325,10 +337,12 @@ def bench_config1(full=False):
         fwd = _aot_jit(f"bench_c1_fwd_{dtype}",
                        lambda p, z: ddim_forward(eps_of(p), z, sched, grid100),
                        fingerprint=f"{dtype}:steps100")
+        _stage(f"config1/{dtype}: params+cast ready, compiling fwd")
         _sync(fwd(p_in, x))  # compile
         t0 = time.perf_counter()
         _sync(fwd(p_in, x))
         ddim_sec = time.perf_counter() - t0
+        _stage(f"config1/{dtype}: fwd measured, compiling pull")
 
         pull = _aot_jit(
             f"bench_c1_pull_{dtype}",
@@ -344,6 +358,7 @@ def bench_config1(full=False):
         res = pull(p_in, x, jax.random.key(2))
         _sync(res)
         pull_sec = time.perf_counter() - t0
+        _stage(f"config1/{dtype}: pull measured, compiling edit")
 
         vk = res.vT[0].reshape(1, 256, 256, 3).astype(jnp.float32)
 
@@ -365,6 +380,7 @@ def bench_config1(full=False):
         _sync(edit_jit(p_in, x, vk))  # compile
         t0 = time.perf_counter()
         _sync(edit_jit(p_in, x, vk))
+        _stage(f"config1/{dtype}: edit measured")
         return ddim_sec, pull_sec, time.perf_counter() - t0
 
     prod = _prod_dtype()
@@ -421,6 +437,7 @@ def bench_config1(full=False):
     # MFU accounting (loop-free component programs × trip counts; see
     # utils/flops.py for why per-program cost analysis can't be used).
     # Cost analysis counts MACs identically across dtypes — f32 closures OK.
+    _stage("config1: measuring done, MFU fits")
     model = UNet2D(cfg_f32)
     enc_fn = lambda p, zz: model.apply(p, zz, t_edit, tap,
                                        method=UNet2D.encode)
@@ -643,6 +660,7 @@ def _sd_setup(cfg_scale: float, attn: str = "flash", dtype: str = "float32"):
     t = jnp.float32(699.3)
     params = _SD_PARAMS_MEMO.get(dtype)
     if params is None:
+        _stage(f"sd_rig/{dtype}: SD 2.1 init")
         params = _w(jax.jit(
             lambda k: UNet2DCondition(cfg).init(k, z, t, ctx)
         )(jax.random.key(2)), dtype)
@@ -691,11 +709,13 @@ def _sd_pullback(cfg_scale: float, attn: str = "flash",
         ),
         fingerprint=f"r{RANK}i{ITERS}:t699.3",
     )
+    _stage(f"sd_pull cfg{cfg_scale}/{attn}/{dtype}: compiling")
     _sync(pull(params, z, ctx, jax.random.key(3)))
     t0 = time.perf_counter()
     res = pull(params, z, ctx, jax.random.key(3))
     _sync(res)
     sec = time.perf_counter() - t0
+    _stage(f"sd_pull cfg{cfg_scale}/{attn}/{dtype}: measured, MFU fits")
     flops = _cached_pullback_flops(
         f"sd21_pullback_cfg{cfg_scale}_{attn}",
         lambda p, q: e_jvp(p, q, ctx),
@@ -902,9 +922,11 @@ def bench_sd_pullback(full=False):
 
         edit_jit = _aot_jit(f"bench_sde2e_edit_{model.config.dtype}", edit,
                             fingerprint="16x1.0:grid50@15")
+        _stage(f"sd_e2e/{model.config.dtype}: compiling edit")
         _sync(edit_jit(p, ctx, z, vk))
         t0 = time.perf_counter()
         _sync(edit_jit(p, ctx, z, vk))
+        _stage(f"sd_e2e/{model.config.dtype}: edit measured")
         return time.perf_counter() - t0
 
     vk = res.vT[0].reshape(1, 64, 64, 4).astype(jnp.float32)
@@ -1013,6 +1035,7 @@ def bench_sdxl_pullback(rank=8, iters=5, chunk=8, with_mfu=True, remat=True,
         # (the matrix never revisits SD sections after config5)
         _SD_PARAMS_MEMO.clear()
         _SD_PULL_MEMO.clear()
+        _stage("config5: SDXL init (5.1G params)")
         params = jax.jit(
             lambda k: to_bf16(unet_jvp.init(k, z, t, ctx, added_cond=added))
         )(jax.random.key(3))
@@ -1034,11 +1057,13 @@ def bench_sdxl_pullback(rank=8, iters=5, chunk=8, with_mfu=True, remat=True,
         ),
         fingerprint="t699.3:bf16",
     )
+    _stage(f"config5: compiling pull r{RANK}i{ITERS}c{min(chunk, RANK)}")
     _sync(pull(params, z, ctx, jax.random.key(4)))
     t0 = time.perf_counter()
     res = pull(params, z, ctx, jax.random.key(4))
     _sync(res)
     sec = time.perf_counter() - t0
+    _stage("config5: measured, MFU fits" if with_mfu else "config5: measured")
     out = {
         "metric": "sdxl1024_mid_tap_pullback",
         "value": round(sec, 4),
@@ -1584,6 +1609,9 @@ def main(full=False):
         ("real_parity", bench_real_parity),
     ]
     takes_full = {"config1", "config2", "config3", "config4", "sd_e2e"}
+    only = {s for s in os.environ.get("DPB_BENCH_ONLY", "").split(",") if s}
+    if only:  # builder-side profiling of one section's wall breakdown
+        sections = [(n, f) for n, f in sections if n in only]
     out = {}
     costs = _load_costs()
     # watchdog: a grace window past the budget — a section admitted with a

@@ -135,6 +135,13 @@ class AOTProgramCache:
                 f.write(data)
             os.replace(tmp, path)
             return jax.jit(exp.call)
-        except Exception:
-            # exotic primitive / export version skew: plain jit, no export
+        except Exception as e:
+            # exotic primitive / export version skew: plain jit, no export.
+            # Say so once — a silent fallback re-traces this program every
+            # process, which reads as "caches don't work" in bench logs.
+            import sys
+
+            print(f"[aot] export unavailable for {name}: "
+                  f"{type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr, flush=True)
             return jfn
