@@ -56,6 +56,17 @@ class PullbackResult(NamedTuple):
     final_delta: jax.Array   # () f32 — last convergence residual
 
 
+try:
+    # jax.export refuses to serialize programs whose OUTPUT pytree contains
+    # an unregistered NamedTuple; without this every pullback program falls
+    # back to per-process re-tracing in the AOT cache (utils/aot.py)
+    jax.export.register_namedtuple_serialization(
+        PullbackResult,
+        serialized_name="diffusion_pullback_tpu.PullbackResult.v1")
+except (AttributeError, ValueError):
+    pass  # older jax (no registry) or double-registration under reload
+
+
 def _orthonormal_probes(key: jax.Array, dim: int, rank: int) -> jax.Array:
     """(rank, dim) matrix with orthonormal rows (QR of a Gaussian block)."""
     g = jax.random.normal(key, (dim, rank), dtype=jnp.float32)
